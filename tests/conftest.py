@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The environment exports ``JAX_PLATFORMS=axon`` (a tunneled TPU plugin) which
+overrides plain env-var settings, so we must both set the env *and* update
+jax.config after import (SURVEY.md §4: mesh/sharding tests use the CPU
+device-count override instead of real multi-host TPU).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+# keep fp32 matmuls honest on all backends (parity tests vs torch)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "parity: numerical parity tests against torch reference math"
+    )

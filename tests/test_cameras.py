@@ -1,0 +1,89 @@
+"""Camera math vs geometric invariants."""
+
+import numpy as np
+
+from videomv_tpu.data.cameras import (
+    GSCameraSettings,
+    create_camera_to_world_matrix,
+    get_camera,
+    get_rays,
+    orbit_camera_for_t2v,
+    plucker_rays,
+    prepare_gs_cameras,
+)
+
+
+def test_c2w_position_and_orthonormality():
+    m = create_camera_to_world_matrix(15, 30, 2.0)
+    pos = m[:3, 3]
+    assert np.isclose(np.linalg.norm(pos), 2.0)
+    R = m[:3, :3]
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-6)
+    # camera looks at the origin: -z axis of camera frame points at -pos
+    fwd = -R[:, 2]
+    np.testing.assert_allclose(fwd, -pos / np.linalg.norm(pos), atol=1e-6)
+
+
+def test_get_camera_orbit():
+    cams = get_camera(24, elevation=15, camera_distance=2.0)
+    assert cams.shape == (24, 16)
+    # all positions at radius 2
+    pos = cams.reshape(24, 4, 4)[:, :3, 3]
+    np.testing.assert_allclose(np.linalg.norm(pos, axis=1), 2.0, rtol=1e-5)
+    # evenly spaced azimuths: consecutive angular gap constant
+    cos_gap = [
+        pos[i] @ pos[(i + 1) % 24] / 4.0 for i in range(24)
+    ]
+    assert np.std(cos_gap) < 1e-5
+
+
+def test_rays_center_pixel_points_forward():
+    pose = create_camera_to_world_matrix(0, 0, 2.0)
+    h = w = 64
+    rays_o, rays_d = get_rays(pose, h, w, fovy=39.6)
+    assert rays_o.shape == (h, w, 3) and rays_d.shape == (h, w, 3)
+    np.testing.assert_allclose(rays_o[0, 0], pose[:3, 3], atol=1e-6)
+    # center rays point from camera toward origin
+    center = rays_d[h // 2, w // 2]
+    to_origin = -pose[:3, 3] / np.linalg.norm(pose[:3, 3])
+    assert center @ to_origin > 0.999
+    # unit norm
+    np.testing.assert_allclose(np.linalg.norm(rays_d, axis=-1), 1.0, atol=1e-5)
+
+
+def test_plucker_shape_and_invariant():
+    pose = create_camera_to_world_matrix(15, 45, 2.0)
+    pl = plucker_rays(pose, 32, 32, 39.6)
+    assert pl.shape == (6, 32, 32)
+    # moment m = o×d is orthogonal to d
+    m = pl[:3].reshape(3, -1).T
+    d = pl[3:].reshape(3, -1).T
+    dots = np.abs(np.sum(m * d, axis=1))
+    assert dots.max() < 1e-5
+
+
+def test_prepare_gs_cameras_canonicalization():
+    cam = orbit_camera_for_t2v(24, elevation=15, camera_distance=2.0)
+    assert cam.shape == (1, 24, 16)
+    gs = prepare_gs_cameras(cam, GSCameraSettings(), ray_size=32)
+    assert gs["input_rays"].shape == (1, 24, 6, 32, 32)
+    assert gs["cam_view"].shape == (1, 24, 4, 4)
+    assert gs["cam_view_proj"].shape == (1, 24, 4, 4)
+    assert gs["cam_pos"].shape == (1, 24, 3)
+    # canonicalized: view-0 camera sits at (0, 0, cam_dis); colmap cam_pos
+    # = -translation → (0, 0, -2) (verified equal to the reference chain,
+    # inference_text2video_entrance.py:196-236, to ~4e-7)
+    np.testing.assert_allclose(gs["cam_pos"][0, 0], [0.0, 0.0, -2.0], atol=1e-5)
+    # view-0 view matrix maps its own camera center to the camera origin:
+    # row-vector convention pos_h @ cam_view = (0,0,0,1)
+    pose0_center = np.array([0.0, 0.0, 2.0, 1.0])
+    mapped = pose0_center @ gs["cam_view"][0, 0]
+    np.testing.assert_allclose(mapped, [0, 0, 0, 1], atol=1e-5)
+
+
+def test_proj_matrix_values():
+    s = GSCameraSettings()
+    P = s.proj_matrix
+    assert np.isclose(P[0, 0], 1.0 / np.tan(0.5 * np.deg2rad(39.6)))
+    assert np.isclose(P[2, 3], 1.0)
+    assert np.isclose(P[2, 2], (2.5 + 0.5) / (2.5 - 0.5))

@@ -1,0 +1,291 @@
+"""Fully-jitted diffusion samplers built on ``lax.scan``.
+
+The reference drives its DDIM loop from host Python with fresh kernel
+launches per step (diffusion_ddim.py:247-260); here the whole 50-step loop —
+including classifier-free guidance and the optional Gaussian-splat refine
+branch at selected step indices (diffusion_ddim.py:256-259) — compiles into a
+single XLA program with no host round-trips.
+
+Samplers provided: DDIM (+ deterministic DDIM inversion), ancestral DDPM, and
+a *fixed* PLMS (the reference PLMS is broken: ``plms_sample`` at
+diffusion_ddim.py:296 is missing the ``eps_cache`` parameter its body uses;
+we implement the correct Adams-Bashforth ladder with the eps cache carried in
+the scan state).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gaussian import GaussianDiffusion, _bcast
+
+__all__ = [
+    "ddim_timestep_seq",
+    "ddim_sample_loop",
+    "ddim_reverse_sample_loop",
+    "ddpm_sample_loop",
+    "plms_sample_loop",
+]
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def ddim_timestep_seq(num_timesteps: int, ddim_timesteps: int) -> np.ndarray:
+    """The reference's descending DDIM step sequence
+    (diffusion_ddim.py:253): ``(1 + arange(0, T, T//S)).clamp(0, T-1)[::-1]``."""
+    stride = num_timesteps // ddim_timesteps
+    steps = 1 + np.arange(0, num_timesteps, stride)
+    steps = np.clip(steps, 0, num_timesteps - 1)
+    return steps[::-1].copy()
+
+
+def _guided_prediction(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    xt: jnp.ndarray,
+    t: jnp.ndarray,
+    guide_scale: Optional[float],
+) -> jnp.ndarray:
+    """Raw (possibly guided) model prediction on the mean channels."""
+    if guide_scale is None:
+        out = model_fn(xt, diffusion.scale_timesteps(t))
+        if diffusion.var_type.startswith("fixed"):
+            return out
+        return out
+    y_out, u_out = model_fn(xt, diffusion.scale_timesteps(t))
+    dim = y_out.shape[1] if diffusion.var_type.startswith("fixed") else y_out.shape[1] // 2
+    mixed = u_out[:, :dim] + guide_scale * (y_out[:, :dim] - u_out[:, :dim])
+    return jnp.concatenate([mixed, y_out[:, dim:]], axis=1)
+
+
+def _pred_x0(diffusion, out, xt, t, clamp, percentile, prediction_is_x0):
+    if not diffusion.var_type.startswith("fixed"):
+        out = jnp.split(out, 2, axis=1)[0]
+    x0 = out if prediction_is_x0 else diffusion.pred_to_x0(out, xt, t)
+    if percentile is not None:
+        flat = jnp.abs(x0.reshape(x0.shape[0], -1))
+        s = jnp.maximum(jnp.quantile(flat, percentile, axis=1), 1.0)
+        s = s.reshape((-1,) + (1,) * (x0.ndim - 1))
+        x0 = jnp.clip(x0, -s, s) / s
+    elif clamp is not None:
+        x0 = jnp.clip(x0, -clamp, clamp)
+    return x0
+
+
+def _ddim_update(diffusion, x0, xt, t, stride, eta, noise):
+    """One deterministic/stochastic DDIM update given predicted x0."""
+    p = diffusion.params
+    eps = diffusion.x0_to_eps(x0, xt, t)
+    alphas = _bcast(p.alphas_cumprod, t, xt)
+    alphas_prev = _bcast(p.alphas_cumprod, jnp.clip(t - stride, 0, None), xt)
+    sigmas = eta * jnp.sqrt(
+        (1 - alphas_prev) / (1 - alphas) * (1 - alphas / alphas_prev)
+    )
+    direction = jnp.sqrt(1 - alphas_prev - sigmas ** 2) * eps
+    mask = (t != 0).astype(xt.dtype).reshape((-1,) + (1,) * (xt.ndim - 1))
+    return jnp.sqrt(alphas_prev) * x0 + direction + mask * sigmas * noise
+
+
+def ddim_sample_loop(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    *,
+    ddim_timesteps: int = 20,
+    eta: float = 0.0,
+    guide_scale: Optional[float] = None,
+    clamp: Optional[float] = None,
+    percentile: Optional[float] = None,
+    refine_fn: Optional[ModelFn] = None,
+    refine_steps: Sequence[int] = (20, 30, 40),
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """DDIM sampling as one ``lax.scan``.
+
+    ``model_fn(xt, t)`` returns the raw prediction, or a ``(cond, uncond)``
+    pair when ``guide_scale`` is set.  ``refine_fn`` — the 3D-aware path that
+    returns a latent-x0 substitute (re-encoded Gaussian-splat renders,
+    reference unet_t2v.py:401-433) — is invoked via ``lax.switch`` at the loop
+    indices in ``refine_steps`` so that the whole refine control-flow stays
+    inside the compiled program.
+    """
+    T = diffusion.num_timesteps
+    stride = T // ddim_timesteps
+    steps = jnp.asarray(ddim_timestep_seq(T, ddim_timesteps), dtype=jnp.int32)
+    b = noise.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    refine_idx = (
+        jnp.asarray(list(refine_steps), dtype=jnp.int32)
+        if refine_fn is not None
+        else None
+    )
+
+    def body(carry, scan_in):
+        xt, rng = carry
+        idx, step = scan_in
+        rng, noise_rng = jax.random.split(rng)
+        t = jnp.full((b,), step, dtype=jnp.int32)
+        z = jax.random.normal(noise_rng, xt.shape, xt.dtype) if eta > 0 else jnp.zeros_like(xt)
+
+        def plain_branch(xt):
+            out = _guided_prediction(diffusion, model_fn, xt, t, guide_scale)
+            x0 = _pred_x0(diffusion, out, xt, t, clamp, percentile, False)
+            return _ddim_update(diffusion, x0, xt, t, stride, eta, z)
+
+        if refine_idx is None:
+            xt_1 = plain_branch(xt)
+        else:
+            def refine_branch(xt):
+                out = _guided_prediction(diffusion, refine_fn, xt, t, guide_scale)
+                x0 = _pred_x0(diffusion, out, xt, t, clamp, percentile, True)
+                return _ddim_update(diffusion, x0, xt, t, stride, eta, z)
+
+            use_refine = jnp.any(idx == refine_idx)
+            xt_1 = jax.lax.cond(use_refine, refine_branch, plain_branch, xt)
+
+        return (xt_1, rng), None
+
+    idxs = jnp.arange(steps.shape[0], dtype=jnp.int32)
+    (x, _), _ = jax.lax.scan(body, (noise, rng), (idxs, steps))
+    return x
+
+
+def ddim_reverse_sample_loop(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    x0: jnp.ndarray,
+    *,
+    ddim_timesteps: int = 20,
+    guide_scale: Optional[float] = None,
+    clamp: Optional[float] = None,
+    percentile: Optional[float] = None,
+) -> jnp.ndarray:
+    """Deterministic DDIM inversion x0 → xT (diffusion_ddim.py:262-293)."""
+    T = diffusion.num_timesteps
+    stride = T // ddim_timesteps
+    steps = jnp.asarray(np.arange(0, T, stride), dtype=jnp.int32)
+    b = x0.shape[0]
+    p = diffusion.params
+    acp_ext = jnp.concatenate([p.alphas_cumprod, jnp.zeros((1,), p.alphas_cumprod.dtype)])
+
+    def body(xt, step):
+        t = jnp.full((b,), step, dtype=jnp.int32)
+        out = _guided_prediction(diffusion, model_fn, xt, t, guide_scale)
+        pred_x0 = _pred_x0(diffusion, out, xt, t, clamp, percentile, False)
+        eps = diffusion.x0_to_eps(pred_x0, xt, t)
+        alphas_next = _bcast(acp_ext, jnp.clip(t + stride, 0, T), xt)
+        mu = jnp.sqrt(alphas_next) * pred_x0 + jnp.sqrt(1 - alphas_next) * eps
+        return mu, None
+
+    xt, _ = jax.lax.scan(body, x0, steps)
+    return xt
+
+
+def ddpm_sample_loop(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    *,
+    guide_scale: Optional[float] = None,
+    clamp: Optional[float] = None,
+    percentile: Optional[float] = None,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Full ancestral sampling p(x_{t-1}|x_t) over all T steps
+    (diffusion_ddim.py:106-136)."""
+    T = diffusion.num_timesteps
+    b = noise.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    steps = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+
+    def body(carry, step):
+        xt, rng = carry
+        rng, noise_rng = jax.random.split(rng)
+        t = jnp.full((b,), step, dtype=jnp.int32)
+        mu, _, log_var, _ = diffusion.p_mean_variance(
+            model_fn, xt, t, guide_scale=guide_scale, clamp=clamp, percentile=percentile
+        )
+        z = jax.random.normal(noise_rng, xt.shape, xt.dtype)
+        mask = (t != 0).astype(xt.dtype).reshape((-1,) + (1,) * (xt.ndim - 1))
+        xt_1 = mu + mask * jnp.exp(0.5 * log_var) * z
+        return (xt_1, rng), None
+
+    (x, _), _ = jax.lax.scan(body, (noise, rng), steps)
+    return x
+
+
+def plms_sample_loop(
+    diffusion: GaussianDiffusion,
+    model_fn: ModelFn,
+    noise: jnp.ndarray,
+    *,
+    plms_timesteps: int = 20,
+    guide_scale: Optional[float] = None,
+    clamp: Optional[float] = None,
+    percentile: Optional[float] = None,
+) -> jnp.ndarray:
+    """Pseudo-linear-multistep sampler with the Adams-Bashforth eps ladder.
+
+    The eps history rides in the scan carry as a fixed [3, ...] buffer plus a
+    valid-count, selecting the 1st/2nd/3rd/4th-order update by ``lax.switch``
+    — the jit-friendly reconstruction of what the reference intended
+    (diffusion_ddim.py:338-374, shipped broken).
+    """
+    T = diffusion.num_timesteps
+    stride = T // plms_timesteps
+    steps = jnp.asarray(ddim_timestep_seq(T, plms_timesteps), dtype=jnp.int32)
+    b = noise.shape[0]
+
+    def compute_eps(xt, t):
+        out = _guided_prediction(diffusion, model_fn, xt, t, guide_scale)
+        x0 = _pred_x0(diffusion, out, xt, t, clamp, percentile, False)
+        return diffusion.x0_to_eps(x0, xt, t)
+
+    def compute_x0_step(eps, xt, t):
+        p = diffusion.params
+        x0 = (
+            _bcast(p.sqrt_recip_alphas_cumprod, t, xt) * xt
+            - _bcast(p.sqrt_recipm1_alphas_cumprod, t, xt) * eps
+        )
+        alphas_prev = _bcast(p.alphas_cumprod, jnp.clip(t - stride, 0, None), xt)
+        direction = jnp.sqrt(1 - alphas_prev) * eps
+        return jnp.sqrt(alphas_prev) * x0 + direction
+
+    def body(carry, step):
+        xt, cache, n_valid = carry
+        t = jnp.full((b,), step, dtype=jnp.int32)
+        eps = compute_eps(xt, t)
+
+        def order1(_):
+            # 2nd-order pseudo improved Euler bootstrap
+            xt_1 = compute_x0_step(eps, xt, t)
+            eps_next = compute_eps(xt_1, jnp.clip(t - stride, 0, None))
+            return (eps + eps_next) / 2.0
+
+        def order2(_):
+            return (3 * eps - cache[2]) / 2.0
+
+        def order3(_):
+            return (23 * eps - 16 * cache[2] + 5 * cache[1]) / 12.0
+
+        def order4(_):
+            return (55 * eps - 59 * cache[2] + 37 * cache[1] - 9 * cache[0]) / 24.0
+
+        eps_prime = jax.lax.switch(
+            jnp.minimum(n_valid, 3), [order1, order2, order3, order4], None
+        )
+        xt_1 = compute_x0_step(eps_prime, xt, t)
+
+        new_cache = jnp.concatenate([cache[1:], eps[None]], axis=0)
+        return (xt_1, new_cache, jnp.minimum(n_valid + 1, 3)), None
+
+    cache0 = jnp.zeros((3,) + noise.shape, noise.dtype)
+    (x, _, _), _ = jax.lax.scan(body, (noise, cache0, jnp.int32(0)), steps)
+    return x

@@ -1,0 +1,424 @@
+"""UNet block zoo for the 3D video UNets, in Flax linen (NHWC layout).
+
+Re-designs the reference block library (tools/modules/unet/util.py) for TPU:
+  - activations carried as ``[B*F, H, W, C]`` (NHWC — native for XLA conv)
+  - attention through ``videomv_tpu.ops.dot_product_attention`` (Pallas flash
+    kernel on TPU, fp32-softmax XLA fallback elsewhere)
+  - temporal convs as 3D convs over ``[B, F, H, W, C]`` with (3,1,1) kernels
+    which XLA lowers onto the MXU as batched matmuls.
+
+Parameter naming mirrors the torch module paths (``in_layers_0`` ↔
+``in_layers.0`` …) so released ``.pth`` checkpoints map over mechanically
+(see videomv_tpu/training/checkpoints.py).
+
+Block ↔ reference map:
+  SpatialTransformer      ↔ util.py:311-373   (use_linear=True variant)
+  TemporalTransformer     ↔ util.py:992-1089  (conv1d proj variant)
+  BasicTransformerBlock   ↔ util.py:510-540
+  CrossAttention          ↔ util.py:212-268 (xformers MemoryEfficientCrossAttention)
+  FeedForward/GEGLU       ↔ util.py:543-577
+  ResBlock                ↔ util.py:610-730 (with fused TemporalConvBlock_v2)
+  TemporalConvBlockV2     ↔ util.py:1347-1392
+  Upsample / Downsample   ↔ util.py:579-607, 732-756
+  sinusoidal_embedding    ↔ util.py:177-189 (cos-first convention!)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+
+Dtype = Any
+
+default_kernel_init = nn.initializers.lecun_normal()
+
+
+def sinusoidal_embedding(timesteps: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """[B] -> [B, dim]; concatenates cos then sin (reference util.py:177-189)."""
+    half = dim // 2
+    t = timesteps.astype(jnp.float32)
+    freqs = jnp.power(10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    sinusoid = jnp.outer(t, freqs)
+    x = jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=1)
+    if dim % 2 != 0:
+        x = jnp.concatenate([x, jnp.zeros_like(x[:, :1])], axis=1)
+    return x
+
+
+class TimestepMLP(nn.Module):
+    """Linear -> SiLU -> Linear embedding tower (time/fps/camera embeddings,
+    reference unet_t2v.py:141-161). ``zero_init`` zeroes the last layer as the
+    camera/fps embeddings do."""
+
+    embed_dim: int
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="0")(x)
+        x = nn.silu(x)
+        last_init = (
+            dict(kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros)
+            if self.zero_init
+            else {}
+        )
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="2", **last_init)(x)
+        return x
+
+
+class CrossAttention(nn.Module):
+    """Multi-head (cross-)attention with fp32 softmax.
+
+    Parameter layout matches MemoryEfficientCrossAttention (util.py:212-268):
+    ``to_q/to_k/to_v`` without bias, ``to_out_0`` with bias.
+    """
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        context = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        b, s_q = q.shape[0], q.shape[1]
+        s_kv = k.shape[1]
+        q = q.reshape(b, s_q, self.heads, self.dim_head)
+        k = k.reshape(b, s_kv, self.heads, self.dim_head)
+        v = v.reshape(b, s_kv, self.heads, self.dim_head)
+
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, s_q, inner)
+        out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        return x * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """GEGLU MLP (util.py:560-577, glu=True as used by the transformers)."""
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        inner = int(self.dim * self.mult)
+        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        return x
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn -> cross-attn -> GEGLU FF, pre-LN residual (util.py:510-540)."""
+
+    dim: int
+    n_heads: int
+    d_head: int
+    context_dim: Optional[int] = None
+    dropout: float = 0.0
+    disable_self_attn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(
+            query_dim=self.dim,
+            context_dim=self.context_dim if self.disable_self_attn else None,
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="attn1",
+        )(h, context if self.disable_self_attn else None, deterministic)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(
+            query_dim=self.dim,
+            context_dim=self.context_dim,
+            heads=self.n_heads,
+            dim_head=self.d_head,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="attn2",
+        )(h, context, deterministic)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")(
+            h, deterministic
+        )
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Spatial self+cross attention over the H·W token axis
+    (util.py:311-373, use_linear=True).
+
+    Input/output: [BF, H, W, C]."""
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    dropout: float = 0.0
+    disable_self_attn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        bf, hh, ww, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        h = h.reshape(bf, hh * ww, c)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                dim=inner,
+                n_heads=self.n_heads,
+                d_head=self.d_head,
+                context_dim=self.context_dim,
+                dropout=self.dropout,
+                disable_self_attn=self.disable_self_attn,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{d}",
+            )(h, context, deterministic)
+        h = nn.Dense(
+            inner,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            name="proj_out",
+        )(h)
+        return h.reshape(bf, hh, ww, c) + x_in
+
+
+class TemporalTransformer(nn.Module):
+    """Temporal self-attention over the frame/view axis (util.py:992-1089,
+    use_linear=False: conv1d-k1 projections, ``only_self_att=True``).
+
+    Input/output: [B, F, H, W, C]; tokens are the F axis per (b, h, w).
+    ``inner_dim = n_heads*d_head`` may differ from C (the dim-320 init block
+    uses 8 heads × 64 = 512)."""
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    multiply_zero: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, f, hh, ww, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # (b h w) f c token layout
+        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f, c)
+        # conv1d with kernel 1 == dense over channels
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                dim=inner,
+                n_heads=self.n_heads,
+                d_head=self.d_head,
+                context_dim=None,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{d}",
+            )(h, None, deterministic)
+        h = nn.Dense(
+            c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
+        )(h)
+        h = h.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
+        if self.multiply_zero:
+            return x_in
+        return x_in + h
+
+
+class TemporalConvBlockV2(nn.Module):
+    """Four stacked (3,1,1) temporal convs with zero-init tail, residual
+    (util.py:1347-1392). Input/output: [B, F, H, W, C]."""
+
+    in_dim: int
+    out_dim: Optional[int] = None
+    dropout: float = 0.0
+    multiply_zero: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        out_dim = self.out_dim or self.in_dim
+        identity = x
+
+        def tconv(h, features, name, zero=False, drop=True):
+            h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"{name}_0")(h)
+            h = nn.silu(h)
+            if drop:
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            idx = 3 if drop else 2
+            init = (
+                dict(kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros)
+                if zero
+                else {}
+            )
+            h = nn.Conv(
+                features,
+                kernel_size=(3, 1, 1),
+                padding=((1, 1), (0, 0), (0, 0)),
+                dtype=self.dtype,
+                name=f"{name}_{idx}",
+                **init,
+            )(h)
+            return h
+
+        h = tconv(x, out_dim, "conv1", drop=False)
+        h = tconv(h, self.in_dim, "conv2")
+        h = tconv(h, self.in_dim, "conv3")
+        h = tconv(h, self.in_dim, "conv4", zero=True)
+
+        if self.multiply_zero:
+            return identity
+        return identity + h
+
+
+class ResBlock(nn.Module):
+    """GN/SiLU/conv residual block + timestep-emb add + fused temporal conv
+    (util.py:610-730, use_scale_shift_norm=False as configured).
+
+    ``__call__(x[BF,H,W,C], emb[BF,E], frames)``."""
+
+    channels: int
+    emb_channels: int
+    dropout: float = 0.0
+    out_channels: Optional[int] = None
+    use_temporal_conv: bool = True
+    use_image_dataset: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        emb: jnp.ndarray,
+        frames: int,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        out_ch = self.out_channels or self.channels
+
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="in_layers_0")(x)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, kernel_size=(3, 3), padding=1, dtype=self.dtype, name="in_layers_2")(h)
+
+        e = nn.silu(emb)
+        e = nn.Dense(out_ch, dtype=self.dtype, name="emb_layers_1")(e)
+        h = h + e[:, None, None, :].astype(h.dtype)
+
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="out_layers_0")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(
+            out_ch,
+            kernel_size=(3, 3),
+            padding=1,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            name="out_layers_3",
+        )(h)
+
+        if out_ch == self.channels:
+            skip = x
+        else:
+            skip = nn.Conv(out_ch, kernel_size=(1, 1), dtype=self.dtype, name="skip_connection")(x)
+        h = skip + h
+
+        if self.use_temporal_conv:
+            bf, hh, ww, c = h.shape
+            b = bf // frames
+            ht = h.reshape(b, frames, hh, ww, c)
+            ht = TemporalConvBlockV2(
+                in_dim=out_ch,
+                out_dim=out_ch,
+                dropout=0.1,
+                multiply_zero=self.use_image_dataset,
+                dtype=self.dtype,
+                name="temopral_conv",  # [sic] — matches reference key (util.py:691)
+            )(ht, deterministic)
+            h = ht.reshape(bf, hh, ww, c)
+        return h
+
+
+class Upsample(nn.Module):
+    """Nearest ×2 upsample + 3×3 conv (util.py:579-607). [BF,H,W,C]."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        bf, h, w, c = x.shape
+        x = jax.image.resize(x, (bf, h * 2, w * 2, c), method="nearest")
+        x = nn.Conv(self.channels, kernel_size=(3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3×3 conv (util.py:732-756). [BF,H,W,C]."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.channels,
+            kernel_size=(3, 3),
+            strides=(2, 2),
+            padding=1,
+            dtype=self.dtype,
+            name="op",
+        )(x)
