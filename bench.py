@@ -1,0 +1,115 @@
+"""Benchmark: 24-view 256² multi-view generation throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric = p50 latency of a full 24-view 256² 50-step CFG DDIM sample
+(UNet @ bf16, jitted scan, batched CFG) + VAE decode, on the attached TPU.
+vs_baseline is measured against the BASELINE.md north-star target of 10 s
+per sample on one chip (no published reference numbers exist; the reference
+repo ships no benchmarks — BASELINE.md).  Extras report DDIM steps/sec and
+batches/sec/chip for the driver's tracked metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+
+
+def main():
+    import os
+
+    import jax
+
+    # persistent compile cache: the 50-step scanned program is large and the
+    # tunneled TPU compiler is slow — cache across runs.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from videomv_tpu.diffusion import GaussianDiffusion
+    from videomv_tpu.diffusion.samplers import ddim_sample_loop
+    from videomv_tpu.models import UNetSD_T2VBase
+    from videomv_tpu.models.autoencoder import AutoencoderKL
+
+    steps = 50
+    b, f, hw = 1, 24, 32
+
+    model = UNetSD_T2VBase(
+        in_dim=4, dim=320, y_dim=1024, context_dim=1024, out_dim=4,
+        dim_mult=(1, 2, 4, 4), num_heads=8, head_dim=64, num_res_blocks=2,
+        attn_scales=(1.0, 0.5, 0.25), dropout=0.1, use_camera_condition=True,
+        dtype=jnp.bfloat16,
+    )
+    vae = AutoencoderKL(dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(
+        schedule="linear_sd",
+        schedule_param=dict(num_timesteps=1000, init_beta=0.00085, last_beta=0.0120),
+        mean_type="eps", var_type="fixed_small",
+    )
+
+    x = jnp.zeros((b, 4, f, hw, hw))
+    t0v = jnp.zeros((b,), jnp.int32)
+    y = jnp.zeros((b, 77, 1024))
+    cam = jnp.zeros((b, f, 16))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t0v, y=y, camera_data=cam)
+    vae_params = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 3, 256, 256)))
+
+    # params are explicit jit arguments — closing over them would bake
+    # ~5.6GB of weights into the program as constants and blow up compiles.
+    @jax.jit
+    def sample(params, noise, rng):
+        def cfg_model(xt, t):
+            x2 = jnp.concatenate([xt, xt], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            y2 = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
+            c2 = jnp.concatenate([cam, cam], axis=0)
+            out = model.apply(params, x2, t2, y=y2, camera_data=c2)
+            return out[:b], out[b:]
+
+        return ddim_sample_loop(
+            diffusion, cfg_model, noise, ddim_timesteps=steps, eta=0.0,
+            guide_scale=9.0, rng=rng,
+        )
+
+    @jax.jit
+    def decode(vae_params, lat):
+        z = lat.transpose(0, 2, 1, 3, 4).reshape(b * f, 4, hw, hw) / 0.18215
+        img = vae.apply(vae_params, z, method=vae.decode)
+        return jnp.clip(img * 0.5 + 0.5, 0, 1)
+
+    noise = jax.random.normal(jax.random.PRNGKey(7), x.shape)
+    rng = jax.random.PRNGKey(11)
+
+    t0 = time.time()
+    out = decode(vae_params, sample(params, noise, rng))
+    jax.block_until_ready(out)
+    compile_time = time.time() - t0
+
+    lat = []
+    for i in range(3):
+        t0 = time.time()
+        out = decode(vae_params, sample(params, noise, jax.random.fold_in(rng, i)))
+        jax.block_until_ready(out)
+        lat.append(time.time() - t0)
+
+    p50 = statistics.median(lat)
+    target = 10.0  # BASELINE.md north star: <10 s / sample on one chip
+    print(json.dumps({
+        "metric": "t2v_24view_256px_50step_p50_latency",
+        "value": round(p50, 3),
+        "unit": "s",
+        "vs_baseline": round(target / p50, 3),
+        "ddim_steps_per_sec": round(steps / p50, 2),
+        "batches_per_sec_per_chip": round(1.0 / p50, 4),
+        "compile_s": round(compile_time, 1),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

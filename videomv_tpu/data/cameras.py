@@ -148,17 +148,78 @@ def orbit_camera_for_t2v(num_frames: int = 24, elevation: float = 15,
     return cam.reshape(1, num_frames, 16)
 
 
+def prepare_gs_training(
+    c2w_opengl: np.ndarray,
+    settings: GSCameraSettings = GSCameraSettings(),
+    ray_size: int = 256,
+) -> Dict[str, np.ndarray]:
+    """The TRAINING-side gs camera prep (reference video_dataset.py:103-144):
+    row-1 negate + rows-1/2 swap, canonicalize view 0 to (0,0,cam_dis)
+    looking at the origin (OpenGL), Plücker rays, then colmap matrices.
+
+    This is the geometrically self-consistent chain the LGM was trained
+    with: every canonicalized camera keeps looking at the object at the
+    origin.  NOTE: the reference's *inference* engine applies an extra
+    column flip before canonicalization (inference_text2video_entrance.py:204)
+    which mirrors the camera rig through the z=cam_dis plane relative to
+    this chain — see ``prepare_gs_cameras`` below, kept for bit-exact
+    reproduction; we default to the training-consistent variant.
+
+    c2w_opengl: [V, 4, 4] or [1, V, 16] OpenGL look-at camera-to-world.
+    """
+    cams = np.asarray(c2w_opengl, dtype=np.float32).reshape(-1, 4, 4).copy()
+    V = cams.shape[0]
+    cams[:, 1] *= -1
+    cams[:, [1, 2]] = cams[:, [2, 1]]
+    cam_dis = np.sqrt(np.sum(cams[0, :3, 3] ** 2))
+    transform = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, cam_dis], [0, 0, 0, 1]],
+        dtype=np.float32,
+    ) @ np.linalg.inv(cams[0])
+    cam_poses = transform[None] @ cams
+
+    rays = np.stack(
+        [plucker_rays(cam_poses[i], ray_size, ray_size, settings.fovy) for i in range(V)],
+        axis=0,
+    )
+
+    cam_poses_colmap = cam_poses.copy()
+    cam_poses_colmap[:, :3, 1:3] *= -1
+    cam_view = np.linalg.inv(cam_poses_colmap).transpose(0, 2, 1)
+    cam_view_proj = cam_view @ settings.proj_matrix
+    cam_pos = -cam_poses_colmap[:, :3, 3]
+
+    return {
+        "input_rays": rays[None],
+        "cam_view": cam_view[None].astype(np.float32),
+        "cam_view_proj": cam_view_proj[None].astype(np.float32),
+        "cam_pos": cam_pos[None].astype(np.float32),
+    }
+
+
+def orbit_c2w_opengl(num_frames: int, elevation: float = 15.0,
+                     camera_distance: float = 2.0) -> np.ndarray:
+    """Raw OpenGL look-at orbit c2w [V, 4, 4] (input to prepare_gs_training)."""
+    return np.stack([
+        create_camera_to_world_matrix(elevation, az, camera_distance)
+        for az in np.arange(0, 360, 360 / num_frames)
+    ]).astype(np.float32)
+
+
 def prepare_gs_cameras(
     camera_data: np.ndarray,
     settings: GSCameraSettings = GSCameraSettings(),
     ray_size: int = 256,
 ) -> Dict[str, np.ndarray]:
-    """Build the gs_data camera block from the UNet camera tensor.
+    """REFERENCE-INFERENCE gs camera prep, kept for bit-exact reproduction
+    (inference_text2video_entrance.py:196-236).
 
-    Mirrors inference_text2video_entrance.py:196-236: undo the UNet-space
-    axis shuffle, canonicalize so view 0 sits at (0,0,cam_dis), emit Plücker
-    ray embeddings for the LGM input and colmap-convention
-    cam_view/cam_view_proj/cam_pos for the splat renderer.
+    WARNING: this chain applies an extra pre-canonicalization column flip
+    (line 204) absent from the training-side ``prepare_gs`` it is meant to
+    mirror; the result is the training camera rig reflected through the
+    z=cam_dis plane (verified numerically — see tests/test_cameras.py).
+    The LGM checkpoints were trained with the training chain, so
+    ``prepare_gs_training`` is the default in our pipeline.
 
     camera_data: [1, V, 16] (output of ``orbit_camera_for_t2v``).
     Returns dict with 'input_rays' [1,V,6,h,w], 'cam_view' [1,V,4,4],

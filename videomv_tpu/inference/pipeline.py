@@ -1,0 +1,316 @@
+"""Text→multiview inference pipeline.
+
+The TPU-native replacement for the reference inference engine
+(/root/reference/tools/inferences/inference_text2video_entrance.py:65-328).
+Differences by design:
+
+  - No process spawning / NCCL: one host process drives the chip(s); scale
+    is by sharded batch (``videomv_tpu.parallel``).
+  - The 50-step CFG DDIM loop is ONE compiled XLA program (lax.scan); the
+    reference relaunches kernels per step from Python.
+  - Classifier-free guidance runs as a single batched forward (cond row
+    stacked with uncond row) — twice the MXU utilization of the reference's
+    two sequential UNet calls (diffusion_ddim.py:149-155).
+  - VAE decode of all views happens in one batched call (the reference
+    chunks through ``decoder_bs=4`` to fit a GPU).
+  - The 3D-aware refine path (LGM + Gaussian splatting at DDIM steps
+    {20,30,40}) compiles *into* the same scan via lax.cond.
+
+Weights load from released torch checkpoints when paths exist; otherwise
+the pipeline runs with random init (shape-true, used for perf benches).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AttrDict
+from ..data.cameras import (
+    GSCameraSettings,
+    orbit_c2w_opengl,
+    orbit_camera_for_t2v,
+    prepare_gs_cameras,
+    prepare_gs_training,
+)
+from ..data.tokenizer import tokenize
+from ..diffusion import GaussianDiffusion
+from ..diffusion.samplers import ddim_sample_loop
+from ..models.autoencoder import AutoencoderKL
+from ..models.clip import OpenCLIPTextVisual
+from ..models.lgm import LGM, LGMOptions
+from ..models.unet_t2v import UNetSD_T2VBase
+
+logger = logging.getLogger(__name__)
+
+
+def unet_kwargs_from_cfg(unet_cfg: dict) -> dict:
+    """Translate the YAML UNet block into module kwargs."""
+    m = dict(unet_cfg)
+    return dict(
+        in_dim=m.get("in_dim", 4),
+        dim=m.get("dim", 320),
+        y_dim=m.get("y_dim", 1024),
+        context_dim=m.get("context_dim", 1024),
+        out_dim=m.get("out_dim", 4),
+        dim_mult=tuple(m.get("dim_mult", (1, 2, 4, 4))),
+        num_heads=m.get("num_heads", 8),
+        head_dim=m.get("head_dim", 64),
+        num_res_blocks=m.get("num_res_blocks", 2),
+        attn_scales=tuple(m.get("attn_scales", (1.0, 0.5, 0.25))),
+        dropout=m.get("dropout", 0.1),
+        temporal_attention=m.get("temporal_attention", True),
+        temporal_attn_times=m.get("temporal_attn_times", 1),
+        use_fps_condition=m.get("use_fps_condition", False),
+        use_camera_condition=m.get("use_camera_condition", True),
+    )
+
+
+@dataclasses.dataclass
+class T2VPipeline:
+    """Builds models from a merged config and drives generation."""
+
+    cfg: AttrDict
+    dtype: Any = jnp.bfloat16
+    seed: int = 0
+
+    def __post_init__(self):
+        cfg = self.cfg
+        d = dict(cfg.get("Diffusion", {}))
+        d.pop("type", None)
+        d.pop("ddim_timesteps", None)
+        self.diffusion = GaussianDiffusion(**d)
+
+        self.max_frames = int(cfg.get("max_frames", 24))
+        self.resolution = list(cfg.get("resolution", [256, 256]))
+        self.scale = int(cfg.get("scale", 8))
+        self.latent_hw = (
+            self.resolution[1] // self.scale,
+            self.resolution[0] // self.scale,
+        )
+        self.scale_factor = float(cfg.get("scale_factor", 0.18215))
+        self.use_lgm_refine = bool(cfg.get("UNet", {}).get("use_lgm_refine", False))
+
+        self.unet = UNetSD_T2VBase(
+            dtype=self.dtype, **unet_kwargs_from_cfg(cfg.get("UNet", {}))
+        )
+        self.vae = AutoencoderKL(dtype=self.dtype)
+        self.clip = OpenCLIPTextVisual(dtype=self.dtype)
+        self.lgm = LGM(opt=LGMOptions.big(), dtype=self.dtype) if self.use_lgm_refine else None
+        self.gs_settings = GSCameraSettings()
+
+        self._params: Dict[str, Any] = {}
+        self._sample_fn = None
+        self._decode_fn = None
+        self._encode_text_fn = None
+
+    # ------------------------------------------------------------ params
+
+    def init_params(self, rng: Optional[jax.Array] = None, load: bool = True):
+        """Initialize (and optionally load) all model params."""
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+        b, f = 1, self.max_frames
+        h, w = self.latent_hw
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+
+        t0 = time.time()
+        x = jnp.zeros((b, 4, f, h, w))
+        t = jnp.zeros((b,), jnp.int32)
+        y = jnp.zeros((b, 77, self.unet.context_dim))
+        cam = jnp.zeros((b, f, 16))
+        self._params["unet"] = jax.jit(self.unet.init)(r1, x, t, y=y, camera_data=cam)
+
+        img = jnp.zeros((1, 3, self.resolution[1], self.resolution[0]))
+        self._params["vae"] = jax.jit(self.vae.init)(r2, img)
+
+        toks = jnp.zeros((1, 77), jnp.int32)
+        self._params["clip"] = jax.jit(
+            functools.partial(self.clip.init, method=self.clip.encode_text)
+        )(r3, toks)
+
+        if self.lgm is not None:
+            lgm_in = jnp.zeros((1, 4, 9, self.gs_settings.input_size, self.gs_settings.input_size))
+            self._params["lgm"] = jax.jit(self.lgm.init)(r4, lgm_in)
+        logger.info("param init took %.1fs", time.time() - t0)
+
+        if load:
+            self.load_weights()
+        return self._params
+
+    def load_weights(self):
+        """Tolerantly load released torch checkpoints if paths exist
+        (reference strict=False load, inference_text2video_entrance.py:137-144)."""
+        import os
+
+        from ..training.checkpoints import (
+            convert_lgm,
+            convert_open_clip,
+            convert_unet,
+            convert_vae,
+            load_torch_checkpoint,
+        )
+
+        cfg = self.cfg
+        jobs = []
+        if cfg.get("test_model") and os.path.exists(cfg.test_model):
+            jobs.append(("unet", cfg.test_model, convert_unet))
+            if self.lgm is not None:
+                jobs.append(("lgm", cfg.test_model, convert_lgm))
+        ae = cfg.get("auto_encoder", {})
+        if ae.get("pretrained") and os.path.exists(ae.pretrained):
+            jobs.append(("vae", ae.pretrained, convert_vae))
+        emb = cfg.get("embedder", {})
+        if emb.get("pretrained") and os.path.exists(emb.pretrained):
+            jobs.append(("clip", emb.pretrained, convert_open_clip))
+        if cfg.get("lgm_pretrain") and os.path.exists(cfg.lgm_pretrain) and self.lgm is not None:
+            jobs.append(("lgm", cfg.lgm_pretrain, convert_lgm))
+
+        for name, path, fn in jobs:
+            sd = load_torch_checkpoint(path)
+            self._params[name], report = fn(sd, self._params[name])
+            logger.info(
+                "loaded %s from %s: %d matched, %d missing, %d unexpected",
+                name, path, len(report["matched"]), len(report["missing"]),
+                len(report["unexpected"]),
+            )
+
+    # ---------------------------------------------------------- builders
+
+    def encode_text(self, prompts: Sequence[str]) -> jnp.ndarray:
+        """Prompts → y_words [B, 77, 1024] (penultimate-layer token sequence)."""
+        toks = jnp.asarray(tokenize(list(prompts)))
+        if self._encode_text_fn is None:
+            self._encode_text_fn = jax.jit(
+                lambda p, t: self.clip.apply(p, t, method=self.clip.encode_text)[1]
+            )
+        return self._encode_text_fn(self._params["clip"], toks)
+
+    def _build_sampler(self, steps: int, guide_scale: float, with_refine: bool):
+        """Compile the full sampling program once per (steps, guidance, refine).
+
+        Model params are explicit jit arguments — closing over them would
+        bake gigabytes of weights into the program as constants and multiply
+        compile time."""
+        unet, vae, lgm = self.unet, self.vae, self.lgm
+        b = 1
+        f = self.max_frames
+        sf = self.scale_factor
+        diffusion = self.diffusion
+        gs_settings = self.gs_settings
+
+        @jax.jit
+        def sample(params, noise, y, zero_y, cam, gs_rays, cam_view, cam_view_proj, rng):
+            def cfg_model(xt, t):
+                x2 = jnp.concatenate([xt, xt], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                y2 = jnp.concatenate([y, zero_y], axis=0)
+                c2 = jnp.concatenate([cam, cam], axis=0)
+                out = unet.apply(params["unet"], x2, t2, y=y2, camera_data=c2)
+                return out[:b], out[b:]
+
+            refine_fn = None
+            if with_refine and lgm is not None:
+                from .refine import make_refine_fn
+
+                refine_fn = make_refine_fn(
+                    unet=unet, vae=vae, lgm=lgm, params=params,
+                    diffusion=diffusion, scale_factor=sf, batch=b,
+                    gs_settings=gs_settings,
+                    y=y, zero_y=zero_y, cam=cam, gs_rays=gs_rays,
+                    cam_view=cam_view, cam_view_proj=cam_view_proj,
+                )
+            latents = ddim_sample_loop(
+                diffusion, cfg_model, noise,
+                ddim_timesteps=steps, eta=0.0, guide_scale=guide_scale,
+                refine_fn=refine_fn, refine_steps=(20, 30, 40), rng=rng,
+            )
+            return latents
+
+        return sample
+
+    def _decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """[B, 4, F, h, w] → [B, F, H, W, 3] float in [0, 1]."""
+        if self._decode_fn is None:
+            vae, sf = self.vae, self.scale_factor
+
+            @jax.jit
+            def decode(params, z):
+                b, c, f, h, w = z.shape
+                z = z.transpose(0, 2, 1, 3, 4).reshape(b * f, c, h, w) / sf
+                img = vae.apply(params, z, method=vae.decode)  # [BF, 3, H, W]
+                img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+                return img.reshape(b, f, 3, img.shape[-2], img.shape[-1]).transpose(0, 1, 3, 4, 2)
+
+            self._decode_fn = decode
+        return self._decode_fn(self._params["vae"], latents)
+
+    # ---------------------------------------------------------- generate
+
+    def generate(
+        self,
+        prompt: str,
+        steps: int = 50,
+        guide_scale: Optional[float] = None,
+        use_gs_refine: bool = False,
+        seed: Optional[int] = None,
+        elevation: float = 15.0,
+        camera_distance: float = 2.0,
+        y_words: Optional[jnp.ndarray] = None,
+        negative_words: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """One prompt → 24 orbit views. Returns frames uint8 [F, H, W, 3]."""
+        assert self._params, "call init_params() first"
+        cfg = self.cfg
+        guide_scale = guide_scale if guide_scale is not None else float(cfg.get("guide_scale", 9.0))
+        seed = seed if seed is not None else int(cfg.get("seed", 0))
+
+        if "3d asset" not in prompt:
+            prompt = prompt + ", 3d asset"
+
+        if y_words is None:
+            y_words = self.encode_text([prompt])
+        if negative_words is None:
+            neg = cfg.get("negative_prompt", "")
+            negative_words = self.encode_text([neg])
+
+        cam = jnp.asarray(
+            orbit_camera_for_t2v(self.max_frames, elevation, camera_distance)
+        )
+        # gs cameras use the TRAINING-consistent chain (the LGM checkpoints'
+        # native convention); cfg['reference_inference_cameras'] reproduces
+        # the reference inference engine's mirrored variant bit-for-bit.
+        if bool(self.cfg.get("reference_inference_cameras", False)):
+            gs = prepare_gs_cameras(
+                np.asarray(cam), self.gs_settings, ray_size=self.gs_settings.input_size
+            )
+        else:
+            gs = prepare_gs_training(
+                orbit_c2w_opengl(self.max_frames, elevation, camera_distance),
+                self.gs_settings, ray_size=self.gs_settings.input_size,
+            )
+
+        rng = jax.random.PRNGKey(seed)
+        noise_rng, sample_rng = jax.random.split(rng)
+        h, w = self.latent_hw
+        noise = jax.random.normal(noise_rng, (1, 4, self.max_frames, h, w))
+
+        key = (steps, guide_scale, use_gs_refine)
+        if self._sample_fn is None or self._sample_key != key:
+            self._sample_fn = self._build_sampler(steps, guide_scale, use_gs_refine)
+            self._sample_key = key
+
+        latents = self._sample_fn(
+            self._params, noise, y_words, negative_words, cam,
+            jnp.asarray(gs["input_rays"]), jnp.asarray(gs["cam_view"]),
+            jnp.asarray(gs["cam_view_proj"]), sample_rng,
+        )
+        frames = self._decode_latents(latents)
+        frames_np = np.asarray(jnp.round(frames[0] * 255)).astype(np.uint8)
+        return {"frames": frames_np, "latents": np.asarray(latents)}

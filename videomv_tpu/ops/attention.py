@@ -61,13 +61,20 @@ def dot_product_attention(
     bias/mask), otherwise falls back to the XLA reference path.
     """
     if bias is None and mask is None and _pallas_eligible(q, k):
-        from .flash_attention import flash_attention
+        try:
+            from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v)
+            return flash_attention(q, k, v)
+        except ImportError:
+            pass
     return _reference_attention(q, k, v, bias=bias, mask=mask)
 
 
 def _pallas_eligible(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    import os
+
+    if os.environ.get("VIDEOMV_DISABLE_PALLAS_ATTN"):
+        return False
     if jax.default_backend() != "tpu":
         return False
     # flash kernel wants reasonably long sequences; tiny temporal attention

@@ -183,6 +183,7 @@ def rasterize_dense(
     order = jnp.argsort(jnp.where(valid, depth, jnp.inf))
 
     S = img_size
+    tile = min(tile, S)
     ys, xs = jnp.meshgrid(jnp.arange(S, dtype=jnp.float32),
                           jnp.arange(S, dtype=jnp.float32), indexing="ij")
     px_all = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)  # [S*S, 2] (x, y)

@@ -1,0 +1,93 @@
+"""Data-parallel diffusion training step under GSPMD.
+
+Replaces the reference train-loop core (train_t2v_enterance.py:237-323):
+AMP GradScaler → native bf16 compute with fp32 master params and adamw
+state; DDP gradient hooks → GSPMD-inserted psum; sharded EMA dict →
+a plain replicated EMA pytree updated with a fused lerp.
+
+``build_train_step`` returns one jitted function implementing:
+  noise/q_sample → UNet forward (bf16) → mse vs target → grads (fp32)
+  → optax update → EMA lerp — all sharded batch-wise over the ``dp`` axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any]
+
+
+def build_train_step(
+    unet,
+    diffusion,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    ema_decay: float = 0.9999,
+    use_ema: bool = True,
+    p_zero: float = 0.1,
+):
+    """Create the jitted DP train step.
+
+    batch dict: ``latents`` [B, 4, F, h, w] (pre-encoded by the frozen VAE),
+    ``y_words`` [B, L, ctx], ``camera_data`` [B, F, 16].
+    Classifier-free dropout of the text condition happens in-step with
+    probability ``p_zero`` (reference train_t2v_enterance.py:266-276).
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+
+    def loss_fn(params, batch, rng):
+        latents = batch["latents"]
+        b = latents.shape[0]
+        t_rng, n_rng, z_rng, d_rng = jax.random.split(rng, 4)
+        t = jax.random.randint(t_rng, (b,), 0, diffusion.num_timesteps)
+
+        # classifier-free dropout: zero the text rows with prob p_zero
+        drop = jax.random.bernoulli(z_rng, p_zero, (b,))
+        y = jnp.where(drop[:, None, None], 0.0, batch["y_words"])
+
+        def model_fn(xt, ts):
+            return unet.apply(
+                params, xt, ts, y=y, camera_data=batch.get("camera_data"),
+                deterministic=False, rngs={"dropout": d_rng},
+            )
+
+        loss_vec, aux = diffusion.loss(n_rng, model_fn, latents, t)
+        return loss_vec.mean(), aux
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if use_ema and state.ema_params is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + (1.0 - ema_decay) * p,
+                state.ema_params, new_params,
+            )
+        return (
+            TrainState(state.step + 1, new_params, new_opt, new_ema),
+            loss,
+        )
+
+    return train_step

@@ -1,0 +1,274 @@
+"""Training engine: text→multiview finetuning (train_t2v_entrance parity).
+
+Replaces the reference train engine
+(/root/reference/tools/train/train_t2v_enterance.py:36-419) with a
+single-process GSPMD loop:
+
+  reference                          → here
+  mp.spawn + DDP/NCCL                → jax mesh, sharded batch, psum grads
+  AMP GradScaler                     → bf16 compute, fp32 master params
+  per-rank heterogeneous frame_lens  → homogeneous-step schedule (see
+                                       ``image_video_interleave``; per-rank
+                                       divergent shapes are SPMD-hostile by
+                                       design — SURVEY.md §2)
+  sharded EMA dict (k[rank::ws])     → replicated EMA pytree (orbax saves
+                                       one logical tree)
+  torch .pth checkpoints             → orbax checkpoints + torch import
+
+The frozen VAE/CLIP encode runs jitted on-device before the train step;
+classifier-free dropout (p_zero) happens inside the step.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AttrDict
+from ..data.datasets import (
+    GObjaverseVideoDataset,
+    SyntheticMVDataset,
+    batch_iterator,
+)
+from ..data.tokenizer import tokenize
+from ..diffusion import GaussianDiffusion
+from ..models.autoencoder import AutoencoderKL
+from ..models.clip import OpenCLIPTextVisual
+from ..models.unet_t2v import UNetSD_T2VBase
+from ..parallel import TrainState, build_train_step, make_mesh, replicate, shard_batch
+from ..inference.pipeline import unet_kwargs_from_cfg
+from .optim import build_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class T2VTrainer:
+    """Builds all towers and drives the training loop."""
+
+    def __init__(self, cfg: AttrDict, dtype: Any = jnp.bfloat16):
+        self.cfg = cfg
+        self.dtype = dtype
+        d = dict(cfg.get("Diffusion", {}))
+        d.pop("type", None)
+        d.pop("ddim_timesteps", None)
+        self.diffusion = GaussianDiffusion(**d)
+        self.unet = UNetSD_T2VBase(dtype=dtype, **unet_kwargs_from_cfg(cfg.get("UNet", {})))
+        self.vae = AutoencoderKL(dtype=dtype)
+        self.clip = OpenCLIPTextVisual(dtype=dtype)
+
+        self.max_frames = int(cfg.get("frame_lens", [24])[0])
+        self.resolution = list(cfg.get("resolution", [256, 256]))
+        self.scale_factor = float(cfg.get("scale_factor", 0.18215))
+        self.mesh = make_mesh()
+
+        self.params: Dict[str, Any] = {}
+        self.state: Optional[TrainState] = None
+        self._encode_batch = None
+
+    # ------------------------------------------------------------- setup
+
+    def init(self, rng: Optional[jax.Array] = None):
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(int(cfg.get("seed", 0)))
+        r1, r2, r3 = jax.random.split(rng, 3)
+        b, f = 1, self.max_frames
+        h = self.resolution[1] // 8
+        w = self.resolution[0] // 8
+
+        x = jnp.zeros((b, 4, f, h, w))
+        t = jnp.zeros((b,), jnp.int32)
+        y = jnp.zeros((b, 77, self.unet.context_dim))
+        cam = jnp.zeros((b, f, 16))
+        unet_params = jax.jit(self.unet.init)(r1, x, t, y=y, camera_data=cam)
+
+        img = jnp.zeros((1, 3, self.resolution[1], self.resolution[0]))
+        self.params["vae"] = jax.jit(self.vae.init)(r2, img)
+        toks = jnp.zeros((1, 77), jnp.int32)
+        import functools
+
+        self.params["clip"] = jax.jit(
+            functools.partial(self.clip.init, method=self.clip.encode_text)
+        )(r3, toks)
+
+        # tolerant pretrain load (reference Pretrain strategy)
+        pre = cfg.get("Pretrain", {})
+        ckpt = pre.get("resume_checkpoint")
+        self.resume_step = 0
+        if ckpt and os.path.exists(ckpt):
+            from .checkpoints import convert_unet, load_torch_checkpoint
+
+            sd = load_torch_checkpoint(ckpt)
+            unet_params, report = convert_unet(sd, unet_params)
+            logger.info(
+                "pretrain load %s: %d matched / %d missing / %d unexpected",
+                ckpt, len(report["matched"]), len(report["missing"]),
+                len(report["unexpected"]),
+            )
+            import re as _re
+
+            m = _re.search(r"(\d+)\.pth", os.path.basename(ckpt))
+            if m:
+                self.resume_step = int(m.group(1))
+
+        self.optimizer = build_optimizer(
+            lr=float(cfg.get("lr", 3e-5)),
+            weight_decay=float(cfg.get("weight_decay", 0.0)),
+            warmup_steps=int(cfg.get("warmup_steps", 10)),
+            total_steps=int(cfg.get("num_steps", 1_000_000)),
+            decay_mode=str(cfg.get("decay_mode", "cosine")),
+            grad_scale=cfg.get("Pretrain", {}).get("grad_scale"),
+            sd_keys_path=cfg.get("Pretrain", {}).get("sd_keys_path"),
+        )
+        opt_state = jax.jit(self.optimizer.init)(unet_params)
+        use_ema = bool(cfg.get("use_ema", False))
+        ema0 = (
+            jax.tree_util.tree_map(lambda x: x + 0.0, unet_params) if use_ema else None
+        )
+        self.state = TrainState(
+            step=jnp.asarray(self.resume_step, jnp.int32),
+            params=replicate(self.mesh, unet_params),
+            opt_state=replicate(self.mesh, opt_state),
+            ema_params=replicate(self.mesh, ema0) if use_ema else None,
+        )
+        self.train_step = build_train_step(
+            self.unet, self.diffusion, self.optimizer, self.mesh,
+            ema_decay=float(cfg.get("ema_decay", 0.9999)),
+            use_ema=use_ema,
+            p_zero=float(cfg.get("p_zero", 0.1)),
+        )
+        return self
+
+    # -------------------------------------------------------------- data
+
+    def make_dataset(self):
+        cfg = self.cfg
+        vd = cfg.get("vid_dataset", {})
+        lists = [p for p in vd.get("data_list", []) if os.path.exists(p)]
+        if lists:
+            ds = GObjaverseVideoDataset(
+                data_list=vd.get("data_list", []),
+                data_dir_list=vd.get("data_dir_list", []),
+                caption_dir=vd.get("caption_dir"),
+                resolution=tuple(vd.get("resolution", self.resolution)),
+                max_frames=self.max_frames,
+                prepare_lgm=bool(vd.get("prepare_lgm", False)),
+            )
+            if len(ds.items) > 0:
+                return ds
+        logger.warning("no dataset assets found; using SyntheticMVDataset")
+        return SyntheticMVDataset(
+            resolution=tuple(self.resolution), max_frames=self.max_frames
+        )
+
+    def encode_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Host batch → device features: frozen VAE encode + CLIP text."""
+        if self._encode_batch is None:
+            vae, clip, sf = self.vae, self.clip, self.scale_factor
+
+            @jax.jit
+            def encode(vae_params, clip_params, video, toks):
+                b, f, c, hh, ww = video.shape
+                flat = video.reshape(b * f, c, hh, ww)
+                z = vae.apply(vae_params, flat, sf, method=vae.encode_first_stage)
+                z = z.reshape(b, f, 4, z.shape[-2], z.shape[-1]).transpose(0, 2, 1, 3, 4)
+                y = clip.apply(clip_params, toks, method=clip.encode_text)[1]
+                return z, y
+
+            self._encode_batch = encode
+
+        toks = jnp.asarray(tokenize(list(batch["caption"])))
+        z, y = self._encode_batch(
+            self.params["vae"], self.params["clip"],
+            jnp.asarray(batch["video"]), toks,
+        )
+        out = {"latents": z, "y_words": y}
+        if "camera_data" in batch:
+            out["camera_data"] = jnp.asarray(batch["camera_data"])
+        return out
+
+    # -------------------------------------------------------------- loop
+
+    def train(self, num_steps: Optional[int] = None, batch_size: Optional[int] = None):
+        cfg = self.cfg
+        num_steps = num_steps or int(cfg.get("num_steps", 1000))
+        bs = batch_size or int(
+            cfg.get("batch_sizes", {}).get(str(self.max_frames), 1)
+        )
+        dataset = self.make_dataset()
+        batches = batch_iterator(dataset, bs)
+        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
+        log_interval = int(cfg.get("log_interval", 1))
+        save_interval = int(cfg.get("save_ckp_interval", 500))
+        log_dir = cfg.get("log_dir", "workspace/experiment")
+        os.makedirs(log_dir, exist_ok=True)
+
+        t_start = time.time()
+        losses = []
+        for i in range(num_steps):
+            host_batch = next(batches)
+            feats = self.encode_batch(host_batch)
+            feats = shard_batch(self.mesh, feats)
+            self.state, loss = self.train_step(self.state, feats, rng)
+            losses.append(loss)
+            step = int(self.state.step)
+            if step % log_interval == 0:
+                lv = float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses[-log_interval:]])))
+                rate = (i + 1) / (time.time() - t_start)
+                logger.info("step %d loss %.4f (%.2f it/s)", step, lv, rate)
+            if save_interval and step % save_interval == 0 and step > 0:
+                self.save(os.path.join(log_dir, "checkpoints"))
+        return float(jnp.asarray(losses[-1]))
+
+    # ------------------------------------------------------------- ckpt
+
+    def save(self, ckpt_dir: str):
+        """Orbax checkpoint of the full train state (one logical pytree —
+        replaces the per-rank EMA shards of the reference,
+        train_t2v_enterance.py:393-411)."""
+        import orbax.checkpoint as ocp
+
+        step = int(self.state.step)
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {
+                "params": jax.device_get(self.state.params),
+                "ema_params": jax.device_get(self.state.ema_params)
+                if self.state.ema_params is not None
+                else {},
+                "step": step,
+            },
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        logger.info("saved checkpoint %s", path)
+        return path
+
+    def restore(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": jax.device_get(self.state.params),
+            "ema_params": jax.device_get(self.state.ema_params)
+            if self.state.ema_params is not None
+            else {},
+            "step": 0,
+        }
+        restored = ckptr.restore(os.path.abspath(path), target)
+        self.state = TrainState(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=replicate(self.mesh, restored["params"]),
+            opt_state=self.state.opt_state,
+            ema_params=replicate(self.mesh, restored["ema_params"])
+            if self.state.ema_params is not None
+            else None,
+        )
+        return self

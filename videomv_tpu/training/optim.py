@@ -1,0 +1,131 @@
+"""Optimizers and LR schedules.
+
+Parity targets:
+  - ``AnnealingLR`` (reference utils/optim/lr_scheduler.py:6-58): linear
+    warmup then cosine (or linear) decay to ``decay_ratio`` of peak —
+    expressed as an optax schedule.
+  - Per-key gradient scaling of SD-origin weights (reference
+    tools/basic_funcs/pretrain_functions.py:19-51: registers grad hooks
+    multiplying grads of the keys listed in
+    ``stable_diffusion_image_key_temporal_attention_x1.json`` by
+    ``grad_scale``) — expressed as a masked optax transformation.
+  - Adafactor is available directly from optax (reference carries its own
+    copy, utils/optim/adafactor.py, unused by the engines).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Any, Callable, Iterable, Optional, Sequence
+
+import jax
+import optax
+
+__all__ = ["annealing_lr", "scale_selected_grads", "build_optimizer", "sd_key_matcher"]
+
+
+def annealing_lr(
+    peak_lr: float,
+    warmup_steps: int = 10,
+    total_steps: int = 1_000_000,
+    decay_mode: str = "cosine",
+    decay_ratio: float = 0.5,
+) -> optax.Schedule:
+    """Linear warmup → cosine/linear decay (lr_scheduler.py:30-53 semantics:
+    after warmup, anneal to ``decay_ratio`` × peak at ``total_steps``)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, jnp.float32)
+        warm = peak_lr * step / jnp.maximum(warmup_steps, 1)
+        progress = jnp.clip(
+            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0.0, 1.0
+        )
+        if decay_mode == "cosine":
+            decay = peak_lr * (
+                decay_ratio + (1 - decay_ratio) * 0.5 * (1 + jnp.cos(jnp.pi * progress))
+            )
+        elif decay_mode == "linear":
+            decay = peak_lr * (1 - (1 - decay_ratio) * progress)
+        else:  # constant after warmup
+            decay = jnp.full_like(step, peak_lr)
+        return jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def sd_key_matcher(sd_keys_path: str) -> Callable[[str], bool]:
+    """Build a predicate over flattened flax param paths from the reference's
+    SD-key JSON (682 torch keys). Torch ``a.b.weight`` matches flax path
+    ``a/b/kernel`` etc. after normalization."""
+    with open(sd_keys_path) as f:
+        torch_keys = json.load(f)
+    stems = set()
+    for k in torch_keys:
+        stem = re.sub(r"\.(weight|bias)$", "", k).replace(".", "_")
+        stems.add(stem)
+
+    def match(flax_path: str) -> bool:
+        stem = re.sub(r"_(kernel|scale|bias|embedding)$", "", flax_path)
+        return stem in stems
+
+    return match
+
+
+def scale_selected_grads(
+    scale: float, match: Callable[[str], bool]
+) -> optax.GradientTransformation:
+    """Multiply gradients of matching params by ``scale`` (the optax
+    equivalent of the reference's per-tensor grad hooks)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        flat = jax.tree_util.tree_flatten_with_path(updates)
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        new = []
+        for (path, g) in flat[0]:
+            keys = [str(p.key) for p in path if hasattr(p, "key")]
+            if keys and keys[0] == "params":
+                keys = keys[1:]
+            joined = "_".join(keys)
+            new.append(g * scale if match(joined) else g)
+        return jax.tree_util.tree_unflatten(treedef, new), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(
+    lr: float = 3e-5,
+    weight_decay: float = 0.0,
+    betas: Sequence[float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    warmup_steps: int = 10,
+    total_steps: int = 1_000_000,
+    decay_mode: str = "cosine",
+    grad_scale: Optional[float] = None,
+    sd_keys_path: Optional[str] = None,
+    grad_clip: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """AdamW + annealing schedule + optional SD-key grad scaling
+    (the reference training recipe: train_t2v_enterance.py:203-225 +
+    pretrain_functions.py:19-51)."""
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    if grad_scale is not None and sd_keys_path is not None:
+        import os
+
+        if os.path.exists(sd_keys_path):
+            chain.append(scale_selected_grads(grad_scale, sd_key_matcher(sd_keys_path)))
+    chain.append(
+        optax.adamw(
+            learning_rate=annealing_lr(lr, warmup_steps, total_steps, decay_mode),
+            b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay,
+        )
+    )
+    return optax.chain(*chain)
