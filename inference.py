@@ -34,6 +34,7 @@ def main():
 
     from videomv_tpu.config import load_inference_config
     from videomv_tpu.inference import T2VPipeline
+    from videomv_tpu.inference.i2v import I2VPipeline
     from videomv_tpu.utils.video_io import save_multiview_video
 
     cfg = load_inference_config(args.cfg_file, opts=args.opts or [])
@@ -42,6 +43,7 @@ def main():
     cfg.debug = args.debug
 
     task = cfg.get("TASK_TYPE", "inference_text2video_entrance")
+    is_i2v = task == "inference_i2vgen_entrance"
     if task not in ("inference_text2video_entrance", "inference_i2vgen_entrance"):
         raise SystemExit(f"unknown TASK_TYPE {task}")
 
@@ -49,43 +51,51 @@ def main():
 
     logging.info("backend=%s devices=%s", jax.default_backend(), jax.devices())
 
-    pipe = T2VPipeline(cfg, seed=int(cfg.get("seed", 0)))
+    pipe_cls = I2VPipeline if is_i2v else T2VPipeline
+    pipe = pipe_cls(cfg, seed=int(cfg.get("seed", 0)))
     pipe.init_params()
 
-    prompts = []
+    items = []
     lp = cfg.get("test_list_path")
     if lp and os.path.exists(lp):
         with open(lp) as f:
-            prompts = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    if not prompts:
-        prompts = ["a wooden chair"]
+            items = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+    if not items:
+        items = [] if is_i2v else ["a wooden chair"]
     if args.debug:
-        prompts = prompts[:1]
+        items = items[:1]
+    if not items:
+        raise SystemExit(f"no inputs in {lp}")
 
     log_dir = cfg.get("log_dir", "workspace/visualization")
     os.makedirs(log_dir, exist_ok=True)
     use_refine = bool(cfg.get("UNet", {}).get("use_lgm_refine", False))
     rounds = 1 if args.debug else int(cfg.get("round", 1))
+    steps = int(cfg.get("ddim_timesteps", 50))
+
+    def run(item, seed, refine):
+        if is_i2v:
+            return pipe.generate_from_image(item, steps=steps, use_gs_refine=refine, seed=seed)
+        return pipe.generate(item, steps=steps, use_gs_refine=refine, seed=seed)
 
     for r in range(rounds):
-        for idx, caption in enumerate(prompts):
+        for idx, item in enumerate(items):
             seed = int(cfg.get("seed", 0)) + r
-            logging.info("[%d/%d] sampling %r (seed %d)", idx, len(prompts), caption, seed)
+            logging.info("[%d/%d] sampling %r (seed %d)", idx, len(items), item, seed)
+            name = os.path.splitext(os.path.basename(item))[0] if is_i2v else item
+            cap_name = re.sub(r"[^\w\s]", "", name).replace(" ", "_")[:60]
+
             t0 = time.time()
-            out = pipe.generate(caption, steps=int(cfg.get("ddim_timesteps", 50)),
-                                use_gs_refine=False, seed=seed)
-            dt = time.time() - t0
-            cap_name = re.sub(r"[^\w\s]", "", caption).replace(" ", "_")[:60]
+            out = run(item, seed, refine=False)
             path = os.path.join(log_dir, f"{idx:04d}_{cap_name}_{seed}.mp4")
-            save_multiview_video(path, out["frames"], caption=caption)
-            logging.info("saved %s (%.1fs)", path, dt)
+            save_multiview_video(path, out["frames"], caption=name)
+            logging.info("saved %s (%.1fs)", path, time.time() - t0)
 
             if use_refine:
                 t0 = time.time()
-                out_gs = pipe.generate(caption, steps=int(cfg.get("ddim_timesteps", 50)),
-                                       use_gs_refine=True, seed=seed)
+                out_gs = run(item, seed, refine=True)
                 path = os.path.join(log_dir, f"{idx:04d}_{cap_name}_{seed}_gs.mp4")
-                save_multiview_video(path, out_gs["frames"], caption=caption)
+                save_multiview_video(path, out_gs["frames"], caption=name)
                 logging.info("saved %s (%.1fs)", path, time.time() - t0)
 
     logging.info("inference complete")

@@ -161,6 +161,31 @@ class GObjaverseVideoDataset:
 
 
 @dataclass
+class GObjaverseI2VDataset(GObjaverseVideoDataset):
+    """I2V variant (reference tools/datasets/video_i2v_dataset.py): white-255
+    background, empty captions, random azimuth roll of the view sequence
+    (video_i2v_dataset.py:196-198)."""
+
+    background: int = 255
+    random_roll: bool = True
+
+    def _load_item(self, idx: int) -> Dict[str, np.ndarray]:
+        item = super()._load_item(idx)
+        item["caption"] = ""
+        if self.random_roll:
+            shift = self._rng.randrange(self.max_frames)
+            for k in ("video", "mask", "camera_data"):
+                item[k] = np.roll(item[k], -shift, axis=0)
+            if "gs_data" in item:
+                item["gs_data"] = self.prepare_gs(
+                    item["camera_data"], (item["video"] + 1) / 2, item["mask"]
+                )
+        # reference frame = first view after roll
+        item["ref_frame"] = item["video"][0]
+        return item
+
+
+@dataclass
 class ImageListDataset:
     """``path|||caption`` list files, zero-padded to video shape
     (reference image_dataset.py:14-85)."""

@@ -1,3 +1,17 @@
 from .unet_t2v import UNetSD_T2VBase, build_unet_plan
+from .unet_i2v import UNetSD_I2VGen
+from .autoencoder import AutoencoderKL
+from .clip import OpenCLIPTextVisual, CLIPTextTower, CLIPVisionTower
+from .lgm import LGM, LGMOptions
 
-__all__ = ["UNetSD_T2VBase", "build_unet_plan"]
+__all__ = [
+    "UNetSD_T2VBase",
+    "UNetSD_I2VGen",
+    "build_unet_plan",
+    "AutoencoderKL",
+    "OpenCLIPTextVisual",
+    "CLIPTextTower",
+    "CLIPVisionTower",
+    "LGM",
+    "LGMOptions",
+]
