@@ -100,19 +100,20 @@ class GObjaverseVideoDataset:
         return len(self.items) * self.replica
 
     def _load_item(self, idx: int) -> Dict[str, np.ndarray]:
+        from .native_loader import load_views
+
         root, uid = self.items[idx % len(self.items)]
         obj_dir = os.path.join(root, uid)
         size = self.resolution[0]
-        frames, masks, cams = [], [], []
+        pngs, cams = [], []
         for v in range(self.max_frames):
-            png = os.path.join(obj_dir, f"{v:05d}", f"{v:05d}.png")
+            pngs.append(os.path.join(obj_dir, f"{v:05d}", f"{v:05d}.png"))
             cam_json = os.path.join(obj_dir, f"{v:05d}", f"{v:05d}.json")
-            rgb, a = _load_rgba_on_bg(png, self.background, size)
-            frames.append(rgb)
-            masks.append(a)
             cams.append(read_camera_matrix_single(cam_json).flatten())
-        video = np.stack(frames).transpose(0, 3, 1, 2)  # [F, 3, H, W]
-        mask = np.stack(masks).transpose(0, 3, 1, 2)
+        # C++ threaded decode+composite+resize (PIL fallback inside)
+        rgb, a, _, _ = load_views(pngs, out_size=size, background=self.background)
+        video = rgb.transpose(0, 3, 1, 2)  # [F, 3, H, W]
+        mask = a.transpose(0, 3, 1, 2)
         camera = np.stack(cams)  # [F, 16]
 
         caption = self.captions.get(uid.split("/")[-1], "")

@@ -242,15 +242,20 @@ def render_gaussians(
                 pass
 
     if backend == "pallas":
-        from .splat_pallas import rasterize_pallas as raster_fn
+        from .splat_pallas import rasterize_pallas_batch
 
-        def one_view(g, cv, cvp):
-            return raster_fn(g, cv, cvp, img_size, tan_half_fov, bg_color)
-    else:
-        def one_view(g, cv, cvp):
-            return rasterize_dense(
-                g, cv, cvp, img_size, tan_half_fov, bg_color, chunk=chunk, tile=tile
-            )
+        # pair capacity scales with resolution (radius in pixels halves at
+        # half the resolution, quartering expected tile coverage)
+        max_pairs = (1 << 21) if img_size >= 512 else (1 << 20)
+        return rasterize_pallas_batch(
+            gaussians, cam_view, cam_view_proj, img_size, tan_half_fov,
+            bg_color, max_pairs=max_pairs,
+        )
+
+    def one_view(g, cv, cvp):
+        return rasterize_dense(
+            g, cv, cvp, img_size, tan_half_fov, bg_color, chunk=chunk, tile=tile
+        )
 
     def per_batch(g, cvs, cvps):
         return jax.vmap(lambda cv, cvp: one_view(g, cv, cvp))(cvs, cvps)
