@@ -84,3 +84,55 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_i2v_train_step():
+    """The generalized train step must thread I2V conditioning
+    (local_image + image_embed) through the sharded program."""
+    from videomv_tpu.models import UNetSD_I2VGen
+    from videomv_tpu.parallel import make_i2v_apply
+
+    mesh = make_mesh(8)
+    model = UNetSD_I2VGen(
+        in_dim=4, dim=64, y_dim=48, context_dim=32, out_dim=4, dim_mult=(1, 2),
+        num_heads=2, head_dim=16, num_res_blocks=1, attn_scales=(1.0,),
+        dropout=0.0, use_camera_condition=True,
+    )
+    diffusion = GaussianDiffusion(
+        schedule="cosine",
+        schedule_param=dict(num_timesteps=100, cosine_s=0.008, zero_terminal_snr=True),
+        mean_type="v", var_type="fixed_small", noise_strength=0.1,
+    )
+    b, f, hw = 8, 2, 32
+    latents = jax.random.normal(jax.random.PRNGKey(0), (b, 4, f, hw, hw))
+    y = jax.random.normal(jax.random.PRNGKey(1), (b, 3, 32))
+    cam = jnp.zeros((b, f, 16))
+    local = jax.random.normal(jax.random.PRNGKey(2), (b, 4, 1, hw, hw))
+    img_emb = jax.random.normal(jax.random.PRNGKey(3), (b, 48))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(4), latents, jnp.zeros((b,), jnp.int32), y=y,
+        camera_data=cam, local_image=local, image=img_emb,
+    )
+    opt = optax.adamw(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=replicate(mesh, params),
+        opt_state=replicate(mesh, jax.jit(opt.init)(params)),
+        ema_params=None,
+    )
+    step_fn = build_train_step(
+        make_i2v_apply(model), diffusion, opt, mesh, use_ema=False, p_zero=0.1
+    )
+    batch = shard_batch(mesh, {
+        "latents": latents, "y_words": y, "camera_data": cam,
+        "local_image": local, "image_embed": img_emb,
+    })
+    state, loss = step_fn(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss))
+    # one more step exercises the donated-state path
+    batch = shard_batch(mesh, {
+        "latents": latents, "y_words": y, "camera_data": cam,
+        "local_image": local, "image_embed": img_emb,
+    })
+    state, loss2 = step_fn(state, batch, jax.random.PRNGKey(6))
+    assert np.isfinite(float(loss2))

@@ -1,4 +1,17 @@
 from .mesh import make_mesh, shard_batch, replicate
-from .train_step import build_train_step, TrainState
+from .train_step import (
+    TrainState,
+    build_train_step,
+    make_i2v_apply,
+    make_t2v_apply,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "build_train_step", "TrainState"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "build_train_step",
+    "make_t2v_apply",
+    "make_i2v_apply",
+    "TrainState",
+]

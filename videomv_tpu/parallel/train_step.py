@@ -6,8 +6,12 @@ state; DDP gradient hooks → GSPMD-inserted psum; sharded EMA dict →
 a plain replicated EMA pytree updated with a fused lerp.
 
 ``build_train_step`` returns one jitted function implementing:
-  noise/q_sample → UNet forward (bf16) → mse vs target → grads (fp32)
+  noise/q_sample → denoiser forward (bf16) → mse vs target → grads (fp32)
   → optax update → EMA lerp — all sharded batch-wise over the ``dp`` axis.
+
+The denoiser is injected as ``apply_fn(params, xt, t, y, batch, rng)`` so
+the same step serves T2V (y + camera) and I2V (+ local_image/image
+conditioning) — see ``make_t2v_apply`` / ``make_i2v_apply``.
 """
 
 from __future__ import annotations
@@ -28,8 +32,34 @@ class TrainState(NamedTuple):
     ema_params: Optional[Any]
 
 
+def make_t2v_apply(unet):
+    """Standard text+camera conditioning (train_t2v_enterance.py:286-296)."""
+
+    def apply_fn(params, xt, t, y, batch, rng):
+        return unet.apply(
+            params, xt, t, y=y, camera_data=batch.get("camera_data"),
+            deterministic=False, rngs={"dropout": rng},
+        )
+
+    return apply_fn
+
+
+def make_i2v_apply(unet):
+    """I2V conditioning: + reference-frame latent and CLIP image embedding
+    (train_i2v_enterance.py local_image path, SURVEY.md §2 #7)."""
+
+    def apply_fn(params, xt, t, y, batch, rng):
+        return unet.apply(
+            params, xt, t, y=y, camera_data=batch.get("camera_data"),
+            local_image=batch["local_image"], image=batch.get("image_embed"),
+            deterministic=False, rngs={"dropout": rng},
+        )
+
+    return apply_fn
+
+
 def build_train_step(
-    unet,
+    unet_or_apply,
     diffusion,
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
@@ -40,10 +70,15 @@ def build_train_step(
     """Create the jitted DP train step.
 
     batch dict: ``latents`` [B, 4, F, h, w] (pre-encoded by the frozen VAE),
-    ``y_words`` [B, L, ctx], ``camera_data`` [B, F, 16].
-    Classifier-free dropout of the text condition happens in-step with
-    probability ``p_zero`` (reference train_t2v_enterance.py:266-276).
+    ``y_words`` [B, L, ctx], optional ``camera_data``/``local_image``/
+    ``image_embed``. Classifier-free dropout of the text condition happens
+    in-step with probability ``p_zero`` (train_t2v_enterance.py:266-276).
     """
+    if callable(unet_or_apply) and not hasattr(unet_or_apply, "apply"):
+        apply_fn = unet_or_apply
+    else:
+        apply_fn = make_t2v_apply(unet_or_apply)
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
 
@@ -58,10 +93,7 @@ def build_train_step(
         y = jnp.where(drop[:, None, None], 0.0, batch["y_words"])
 
         def model_fn(xt, ts):
-            return unet.apply(
-                params, xt, ts, y=y, camera_data=batch.get("camera_data"),
-                deterministic=False, rngs={"dropout": d_rng},
-            )
+            return apply_fn(params, xt, ts, y, batch, d_rng)
 
         loss_vec, aux = diffusion.loss(n_rng, model_fn, latents, t)
         return loss_vec.mean(), aux

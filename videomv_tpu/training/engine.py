@@ -40,8 +40,12 @@ from ..data.tokenizer import tokenize
 from ..diffusion import GaussianDiffusion
 from ..models.autoencoder import AutoencoderKL
 from ..models.clip import OpenCLIPTextVisual
+from ..models.unet_i2v import UNetSD_I2VGen
 from ..models.unet_t2v import UNetSD_T2VBase
-from ..parallel import TrainState, build_train_step, make_mesh, replicate, shard_batch
+from ..parallel import (
+    TrainState, build_train_step, make_i2v_apply, make_mesh, make_t2v_apply,
+    replicate, shard_batch,
+)
 from ..inference.pipeline import unet_kwargs_from_cfg
 from .optim import build_optimizer
 
@@ -58,7 +62,10 @@ class T2VTrainer:
         d.pop("type", None)
         d.pop("ddim_timesteps", None)
         self.diffusion = GaussianDiffusion(**d)
-        self.unet = UNetSD_T2VBase(dtype=dtype, **unet_kwargs_from_cfg(cfg.get("UNet", {})))
+        self.is_i2v = cfg.get("TASK_TYPE", "") == "train_i2v_entrance" or \
+            cfg.get("UNet", {}).get("type") == "UNetSD_I2VGen"
+        unet_cls = UNetSD_I2VGen if self.is_i2v else UNetSD_T2VBase
+        self.unet = unet_cls(dtype=dtype, **unet_kwargs_from_cfg(cfg.get("UNet", {})))
         self.vae = AutoencoderKL(dtype=dtype)
         self.clip = OpenCLIPTextVisual(dtype=dtype)
 
@@ -70,6 +77,7 @@ class T2VTrainer:
         self.params: Dict[str, Any] = {}
         self.state: Optional[TrainState] = None
         self._encode_batch = None
+        self._encode_image = None
 
     # ------------------------------------------------------------- setup
 
@@ -85,16 +93,27 @@ class T2VTrainer:
         t = jnp.zeros((b,), jnp.int32)
         y = jnp.zeros((b, 77, self.unet.context_dim))
         cam = jnp.zeros((b, f, 16))
-        unet_params = jax.jit(self.unet.init)(r1, x, t, y=y, camera_data=cam)
+        if self.is_i2v:
+            local = jnp.zeros((b, 4, 1, h, w))
+            img_emb = jnp.zeros((b, self.unet.y_dim))
+            unet_params = jax.jit(self.unet.init)(
+                r1, x, t, y=y, camera_data=cam, local_image=local, image=img_emb
+            )
+        else:
+            unet_params = jax.jit(self.unet.init)(r1, x, t, y=y, camera_data=cam)
 
         img = jnp.zeros((1, 3, self.resolution[1], self.resolution[0]))
         self.params["vae"] = jax.jit(self.vae.init)(r2, img)
         toks = jnp.zeros((1, 77), jnp.int32)
         import functools
 
-        self.params["clip"] = jax.jit(
-            functools.partial(self.clip.init, method=self.clip.encode_text)
-        )(r3, toks)
+        if self.is_i2v:
+            vit_img = jnp.zeros((1, 3, 224, 224))
+            self.params["clip"] = jax.jit(self.clip.init)(r3, toks, vit_img)
+        else:
+            self.params["clip"] = jax.jit(
+                functools.partial(self.clip.init, method=self.clip.encode_text)
+            )(r3, toks)
 
         # tolerant pretrain load (reference Pretrain strategy)
         pre = cfg.get("Pretrain", {})
@@ -136,8 +155,9 @@ class T2VTrainer:
             opt_state=replicate(self.mesh, opt_state),
             ema_params=replicate(self.mesh, ema0) if use_ema else None,
         )
+        apply_fn = make_i2v_apply(self.unet) if self.is_i2v else make_t2v_apply(self.unet)
         self.train_step = build_train_step(
-            self.unet, self.diffusion, self.optimizer, self.mesh,
+            apply_fn, self.diffusion, self.optimizer, self.mesh,
             ema_decay=float(cfg.get("ema_decay", 0.9999)),
             use_ema=use_ema,
             p_zero=float(cfg.get("p_zero", 0.1)),
@@ -151,7 +171,10 @@ class T2VTrainer:
         vd = cfg.get("vid_dataset", {})
         lists = [p for p in vd.get("data_list", []) if os.path.exists(p)]
         if lists:
-            ds = GObjaverseVideoDataset(
+            from ..data.datasets import GObjaverseI2VDataset
+
+            ds_cls = GObjaverseI2VDataset if self.is_i2v else GObjaverseVideoDataset
+            ds = ds_cls(
                 data_list=vd.get("data_list", []),
                 data_dir_list=vd.get("data_dir_list", []),
                 caption_dir=vd.get("caption_dir"),
@@ -164,6 +187,36 @@ class T2VTrainer:
         logger.warning("no dataset assets found; using SyntheticMVDataset")
         return SyntheticMVDataset(
             resolution=tuple(self.resolution), max_frames=self.max_frames
+        )
+
+    def make_image_dataset(self):
+        """Optional LAION image stream for joint training
+        (configs/t2v_train_laion.yaml; reference heterogeneous frame_lens
+        recast as alternating shape-uniform steps)."""
+        import glob as globlib
+
+        cfg = self.cfg
+        idc = cfg.get("img_dataset", {})
+        if idc.get("type") != "LAIONImageDataset":
+            return None
+        from ..data.laion import LaionImageDataset
+
+        shard_specs = idc.get("shards", [])
+        shards = []
+        for spec in shard_specs:
+            # brace-expansion specs pass through glob after a simple rewrite
+            shards.extend(sorted(globlib.glob(
+                spec.replace("{", "[").replace("..", "-").replace("}", "]")
+            )) or ([spec] if os.path.exists(spec) else []))
+        if not shards:
+            return None
+        # image steps run at f=1 (a separate jit specialization of the same
+        # train step) — matching the reference's f=1 image ranks without
+        # per-device shape divergence
+        return LaionImageDataset(
+            shards=shards,
+            resolution=tuple(idc.get("resolution", self.resolution)),
+            max_frames=1,
         )
 
     def encode_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -190,6 +243,26 @@ class T2VTrainer:
         out = {"latents": z, "y_words": y}
         if "camera_data" in batch:
             out["camera_data"] = jnp.asarray(batch["camera_data"])
+        if self.is_i2v:
+            # reference-frame conditioning (train_i2v_enterance.py:236-238):
+            # VAE latent of view 0 + CLIP image embedding of view 0
+            ref = jnp.asarray(batch["video"])[:, 0]  # [B, 3, H, W]
+            out["local_image"] = z[:, :, :1]
+            if self._encode_image is None:
+                from ..models.clip import VIT_MEAN, VIT_STD
+
+                clip = self.clip
+
+                @jax.jit
+                def encode_image(clip_params, img):
+                    x = jnp.clip(img * 0.5 + 0.5, 0, 1)
+                    x = jax.image.resize(x, (x.shape[0], 3, 224, 224), method="bilinear")
+                    x = (x - jnp.asarray(VIT_MEAN).reshape(1, 3, 1, 1)) / \
+                        jnp.asarray(VIT_STD).reshape(1, 3, 1, 1)
+                    return clip.apply(clip_params, x, method=clip.encode_image)
+
+                self._encode_image = encode_image
+            out["image_embed"] = self._encode_image(self.params["clip"], ref)
         return out
 
     # -------------------------------------------------------------- loop
@@ -202,6 +275,20 @@ class T2VTrainer:
         )
         dataset = self.make_dataset()
         batches = batch_iterator(dataset, bs)
+
+        # joint LAION training: alternate shape-uniform image steps
+        # (SPMD-friendly recast of the reference's heterogeneous per-rank
+        # frame_lens, configs/t2v_train_laion.yaml)
+        image_every = int(cfg.get("image_every", 0))
+        image_batches = None
+        if image_every:
+            img_ds = self.make_image_dataset()
+            if img_ds is not None:
+                img_bs = int(cfg.get("batch_sizes", {}).get("1", bs))
+                image_batches = batch_iterator(iter(img_ds), img_bs)
+            else:
+                logger.warning("image_every set but no LAION shards found")
+
         rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
         log_interval = int(cfg.get("log_interval", 1))
         save_interval = int(cfg.get("save_ckp_interval", 500))
@@ -211,7 +298,12 @@ class T2VTrainer:
         t_start = time.time()
         losses = []
         for i in range(num_steps):
-            host_batch = next(batches)
+            use_image = (
+                image_batches is not None
+                and image_every
+                and i % image_every == image_every - 1
+            )
+            host_batch = next(image_batches if use_image else batches)
             feats = self.encode_batch(host_batch)
             feats = shard_batch(self.mesh, feats)
             self.state, loss = self.train_step(self.state, feats, rng)
