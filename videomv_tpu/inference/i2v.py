@@ -201,11 +201,10 @@ class I2VPipeline(T2VPipeline):
         noise = jax.random.normal(noise_rng, (1, 4, self.max_frames, h, w))
 
         key = ("i2v", steps, guide_scale, use_gs_refine)
-        if self._sample_fn is None or getattr(self, "_sample_key", None) != key:
-            self._sample_fn = self._build_sampler_i2v(steps, guide_scale, use_gs_refine)
-            self._sample_key = key
+        if key not in self._samplers:
+            self._samplers[key] = self._build_sampler_i2v(steps, guide_scale, use_gs_refine)
 
-        latents = self._sample_fn(
+        latents = self._samplers[key](
             self._params, noise, y_words, neg, cam, local, y_visual, zero_img,
             jnp.asarray(gs["input_rays"]), jnp.asarray(gs["cam_view"]),
             jnp.asarray(gs["cam_view_proj"]), sample_rng,

@@ -113,7 +113,7 @@ class T2VPipeline:
         )
 
         self._params: Dict[str, Any] = {}
-        self._sample_fn = None
+        self._samplers: Dict[Any, Any] = {}
         self._decode_fn = None
         self._encode_text_fn = None
 
@@ -308,11 +308,10 @@ class T2VPipeline:
         noise = jax.random.normal(noise_rng, (1, 4, self.max_frames, h, w))
 
         key = (steps, guide_scale, use_gs_refine)
-        if self._sample_fn is None or self._sample_key != key:
-            self._sample_fn = self._build_sampler(steps, guide_scale, use_gs_refine)
-            self._sample_key = key
+        if key not in self._samplers:
+            self._samplers[key] = self._build_sampler(steps, guide_scale, use_gs_refine)
 
-        latents = self._sample_fn(
+        latents = self._samplers[key](
             self._params, noise, y_words, negative_words, cam,
             jnp.asarray(gs["input_rays"]), jnp.asarray(gs["cam_view"]),
             jnp.asarray(gs["cam_view_proj"]), sample_rng,
