@@ -70,6 +70,7 @@ def unet_kwargs_from_cfg(unet_cfg: dict) -> dict:
         temporal_attn_times=m.get("temporal_attn_times", 1),
         use_fps_condition=m.get("use_fps_condition", False),
         use_camera_condition=m.get("use_camera_condition", True),
+        use_checkpoint=m.get("use_checkpoint", False),
     )
 
 

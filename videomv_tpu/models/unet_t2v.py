@@ -142,10 +142,19 @@ class UNetSD_T2VBase(nn.Module):
 
     def _block(self, kind, name, cin, cout):
         d = self.dtype
+        # gradient checkpointing per block (reference fairscale
+        # checkpoint_wrapper, unet_t2v.py:436-514) — jax.checkpoint via
+        # nn.remat; forward-only programs are unaffected
+        ck = self.use_checkpoint
+        # nn.remat's static_argnums count the scope as args[0], so call-arg
+        # i is static_argnums i+1
+        res_cls = nn.remat(ResBlock, static_argnums=(3, 4)) if ck else ResBlock
+        sp_cls = nn.remat(SpatialTransformer, static_argnums=(3,)) if ck else SpatialTransformer
+        tp_cls = nn.remat(TemporalTransformer, static_argnums=(2,)) if ck else TemporalTransformer
         if kind == "conv_in":
             return nn.Conv(cout, kernel_size=(3, 3), padding=1, dtype=d, name=name)
         if kind == "res":
-            return ResBlock(
+            return res_cls(
                 channels=cin,
                 emb_channels=self.dim * 4,
                 dropout=self.dropout,
@@ -155,7 +164,7 @@ class UNetSD_T2VBase(nn.Module):
                 name=name,
             )
         if kind == "spatial":
-            return SpatialTransformer(
+            return sp_cls(
                 in_channels=cout,
                 n_heads=cout // self.head_dim,
                 d_head=self.head_dim,
@@ -169,7 +178,7 @@ class UNetSD_T2VBase(nn.Module):
             # all later temporal transformers use cout//head_dim heads
             # (reference unet_t2v.py:172 vs :191)
             n_heads = self.num_heads if name == "input_blocks_0_1" else cout // self.head_dim
-            return TemporalTransformer(
+            return tp_cls(
                 in_channels=cout,
                 n_heads=n_heads,
                 d_head=self.head_dim,

@@ -143,6 +143,7 @@ class T2VTrainer:
             decay_mode=str(cfg.get("decay_mode", "cosine")),
             grad_scale=cfg.get("Pretrain", {}).get("grad_scale"),
             sd_keys_path=cfg.get("Pretrain", {}).get("sd_keys_path"),
+            optimizer=str(cfg.get("optimizer", "adamw")),
         )
         opt_state = jax.jit(self.optimizer.init)(unet_params)
         use_ema = bool(cfg.get("use_ema", False))

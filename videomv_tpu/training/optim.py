@@ -21,6 +21,7 @@ import re
 from typing import Any, Callable, Iterable, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
 
 __all__ = ["annealing_lr", "scale_selected_grads", "build_optimizer", "sd_key_matcher"]
@@ -110,10 +111,13 @@ def build_optimizer(
     grad_scale: Optional[float] = None,
     sd_keys_path: Optional[str] = None,
     grad_clip: Optional[float] = None,
+    optimizer: str = "adamw",
 ) -> optax.GradientTransformation:
-    """AdamW + annealing schedule + optional SD-key grad scaling
-    (the reference training recipe: train_t2v_enterance.py:203-225 +
-    pretrain_functions.py:19-51)."""
+    """AdamW (reference recipe: train_t2v_enterance.py:203-225 +
+    pretrain_functions.py:19-51) or Adafactor (reference ships it at
+    utils/optim/adafactor.py; here it is also the memory-fit choice for
+    1.4B-param finetuning on 16GB chips: fp32 params+grads+adam-ν alone
+    exceed HBM, while Adafactor's factored second moment is ~free)."""
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
@@ -122,10 +126,16 @@ def build_optimizer(
 
         if os.path.exists(sd_keys_path):
             chain.append(scale_selected_grads(grad_scale, sd_key_matcher(sd_keys_path)))
-    chain.append(
-        optax.adamw(
-            learning_rate=annealing_lr(lr, warmup_steps, total_steps, decay_mode),
-            b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay,
+    schedule = annealing_lr(lr, warmup_steps, total_steps, decay_mode)
+    if optimizer == "adafactor":
+        chain.append(optax.adafactor(learning_rate=schedule))
+    else:
+        chain.append(
+            optax.adamw(
+                learning_rate=schedule,
+                b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay,
+                # bf16 first moment halves μ; ν stays fp32
+                mu_dtype=jnp.bfloat16,
+            )
         )
-    )
     return optax.chain(*chain)
