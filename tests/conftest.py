@@ -21,6 +21,13 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 # keep fp32 matmuls honest on all backends (parity tests vs torch)
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the suite is compile-bound on the 1-core host;
+# warm runs drop from ~15 min to ~2 min
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_configure(config):
