@@ -1,4 +1,4 @@
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import init_distributed, make_mesh, shard_batch, replicate
 from .train_step import (
     TrainState,
     build_train_step,
@@ -7,6 +7,7 @@ from .train_step import (
 )
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "shard_batch",
     "replicate",

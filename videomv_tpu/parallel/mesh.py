@@ -20,7 +20,36 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = ["init_distributed", "make_mesh", "shard_batch", "replicate"]
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: replaces the reference's MASTER_ADDR/PORT env
+    rendezvous + NCCL init (train_t2v_enterance.py:44-48,74). Call once per
+    host before building meshes; afterwards ``jax.devices()`` spans the
+    slice and GSPMD programs are global-view. Returns the process index.
+
+    With TPU metadata available (real pods), argument-free
+    ``jax.distributed.initialize()`` autodiscovers everything.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return jax.process_index()
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()
+    except Exception:
+        pass  # single-process (the common dev case)
+    return jax.process_index()
 
 
 def make_mesh(

@@ -293,8 +293,10 @@ class T2VTrainer:
         rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
         log_interval = int(cfg.get("log_interval", 1))
         save_interval = int(cfg.get("save_ckp_interval", 500))
+        viz_interval = int(cfg.get("viz_interval", 0))
         log_dir = cfg.get("log_dir", "workspace/experiment")
         os.makedirs(log_dir, exist_ok=True)
+        viz_hook = self.make_viz_hook(log_dir) if viz_interval else None
 
         t_start = time.time()
         losses = []
@@ -314,9 +316,51 @@ class T2VTrainer:
                 lv = float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses[-log_interval:]])))
                 rate = (i + 1) / (time.time() - t_start)
                 logger.info("step %d loss %.4f (%.2f it/s)", step, lv, rate)
+            if viz_hook is not None and step % viz_interval == 0 and step > 0:
+                viz_params = (
+                    self.state.ema_params
+                    if self.state.ema_params is not None
+                    else self.state.params
+                )
+                viz_hook(step, viz_params)
             if save_interval and step % save_interval == 0 and step > 0:
                 self.save(os.path.join(log_dir, "checkpoints"))
         return float(jnp.asarray(losses[-1]))
+
+    def make_viz_hook(self, log_dir: str):
+        """In-training DDIM visualization (reference visual_train hook,
+        train_t2v_enterance.py:326-388; prompts from the validation file —
+        the reference asserts ./data/dreamfusion420.txt which it never
+        ships, we default to data/validation_prompts.txt)."""
+        try:
+            from .hooks import VisualTrainHook
+            from ..inference.pipeline import T2VPipeline
+
+            prompts_path = self.cfg.get(
+                "validation_prompts", "data/validation_prompts.txt"
+            )
+            if not os.path.exists(prompts_path):
+                return None
+            with open(prompts_path) as f:
+                prompts = [l.strip() for l in f if l.strip()]
+
+            def factory():
+                pipe = T2VPipeline(self.cfg, dtype=self.dtype)
+                pipe.init_params(load=False)
+                pipe._params["vae"] = self.params["vae"]
+                pipe._params["clip"] = self.params["clip"]
+                return pipe
+
+            return VisualTrainHook(
+                factory, prompts, os.path.join(log_dir, "viz"),
+                guide_scale=float(
+                    self.cfg.get("visual_train", {}).get("guide_scale", 9.0)
+                ),
+                steps=int(self.cfg.get("ddim_timesteps", 50)),
+            )
+        except Exception as e:  # viz must never block training
+            logger.warning("viz hook unavailable: %s", e)
+            return None
 
     # ------------------------------------------------------------- ckpt
 

@@ -36,7 +36,13 @@ def time_fn(
     iters: int = 5,
     **kwargs,
 ) -> Dict[str, float]:
-    """Wall-time a jitted function with block_until_ready fencing."""
+    """Wall-time a jitted function with block_until_ready fencing.
+
+    CAUTION: on the tunneled axon TPU backend, ``block_until_ready`` can
+    return before device execution completes, making single-dispatch timings
+    meaningless (measured: 1.3ms for a true 78ms forward). For per-op
+    numbers there, use ``time_chained`` below.
+    """
     for _ in range(warmup):
         jax.block_until_ready(fn(*args, **kwargs))
     times = []
@@ -64,3 +70,28 @@ def device_memory_stats(device: Optional[jax.Device] = None) -> Dict[str, float]
         "peak_bytes_in_use_gb": stats.get("peak_bytes_in_use", 0) / gb,
         "bytes_limit_gb": stats.get("bytes_limit", 0) / gb,
     }
+
+
+def time_chained(step_fn: Callable, x0, n: int = 20, repeats: int = 3) -> float:
+    """Robust per-step seconds via a jitted data-dependent chain.
+
+    ``step_fn(x) -> y`` of x's shape; the chain ``x += 0.01*step_fn(x)``
+    forces true sequential execution even on backends whose
+    block_until_ready is unreliable (the axon tunnel)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x):
+        def body(x, _):
+            return x + 0.01 * step_fn(x), None
+        x, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(x)
+
+    s = chain(x0)
+    s.block_until_ready()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        chain(x0).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
