@@ -77,8 +77,11 @@ def _pallas_eligible(q: jnp.ndarray, k: jnp.ndarray) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    # flash kernel wants reasonably long sequences; tiny temporal attention
-    # (24 views) is faster dense.
+    # A/B-measured policy: the kernel wins only for long self-attention
+    # (seq >= 256, q == k). Cross-attn via the kernel (kv 77 padded to 128)
+    # and short sequences measured SLOWER than the fused XLA path
+    # (164.5 vs 156.2 ms/fwd) — padding waste + lost fusion around small
+    # attentions. Tiny temporal attention (24 tokens) stays dense too.
     q_seq, k_seq = q.shape[1], k.shape[1]
     head_dim = q.shape[-1]
     return q_seq >= 256 and k_seq >= 128 and head_dim in (64, 128) and q_seq == k_seq

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_attention"]
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     q = q_ref[0]  # [BQ, D]
     k = k_ref[0]  # [S, D]
     v = v_ref[0]  # [S, D]
@@ -38,6 +38,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BQ, S] fp32
     s = s * scale
+    if kv_len < k.shape[0]:
+        # cross-attention with padded KV: mask the pad columns
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -47,10 +51,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 
 def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """q, k, v: [B, S, H, D] -> [B, S, H, D]."""
+    """q, k, v: [B, Sq, H, D] -> [B, Sq, H, D]. KV length may be unpadded
+    (e.g. 77 text tokens); it is zero-padded to a lane multiple here and
+    masked inside the kernel."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = d ** -0.5
+
+    kv_len = sk
+    sk_pad = max(128, ((sk + 127) // 128) * 128)
+    if sk_pad != sk:
+        pad = [(0, 0), (0, sk_pad - sk), (0, 0), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        sk = sk_pad
 
     # [B*H, S, D] layout for the kernel grid
     qh = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
@@ -59,9 +73,10 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
     block_q = min(512, sq)
     n_q = sq // block_q
+    assert sq % block_q == 0
 
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, kv_len=kv_len),
         grid=(b * h, n_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
