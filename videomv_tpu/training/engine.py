@@ -141,7 +141,11 @@ class T2VTrainer:
             warmup_steps=int(cfg.get("warmup_steps", 10)),
             total_steps=int(cfg.get("num_steps", 1_000_000)),
             decay_mode=str(cfg.get("decay_mode", "cosine")),
-            grad_scale=cfg.get("Pretrain", {}).get("grad_scale"),
+            # fix_weight freezes the SD-origin keys entirely (reference
+            # pretrain_functions.py:46-48: requires_grad=False) — expressed
+            # as grad scale 0 over the same key set
+            grad_scale=(0.0 if cfg.get("Pretrain", {}).get("fix_weight")
+                        else cfg.get("Pretrain", {}).get("grad_scale")),
             sd_keys_path=cfg.get("Pretrain", {}).get("sd_keys_path"),
             optimizer=str(cfg.get("optimizer", "adamw")),
         )
