@@ -164,3 +164,50 @@ def test_spatial_transformer_parity_with_torch():
     np.testing.assert_allclose(
         np.asarray(out_f).transpose(0, 3, 1, 2), out_t, atol=1e-4
     )
+
+
+@pytest.mark.parity
+def test_temporal_conv_parity_with_torch():
+    """TemporalConvBlockV2 (4× (3,1,1) conv3d) vs independent torch math —
+    exercises the converter's rank-5 kernel transpose."""
+    from videomv_tpu.models.blocks import TemporalConvBlockV2
+
+    C = 32
+
+    class TorchTC(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            def seq(drop):
+                layers = [tnn.GroupNorm(32, C), tnn.SiLU()]
+                if drop:
+                    layers.append(tnn.Dropout(0.0))
+                layers.append(tnn.Conv3d(C, C, (3, 1, 1), padding=(1, 0, 0)))
+                return tnn.Sequential(*layers)
+            self.conv1 = seq(False)
+            self.conv2 = seq(True)
+            self.conv3 = seq(True)
+            self.conv4 = seq(True)
+
+        def forward(self, x):  # [B, C, F, H, W]
+            h = self.conv4(self.conv3(self.conv2(self.conv1(x))))
+            return x + h
+
+    tmod = TorchTC().eval()
+    with torch.no_grad():
+        # randomize the zero-init tail so the test is non-trivial
+        tmod.conv4[-1].weight.normal_(0, 0.05)
+        tmod.conv4[-1].bias.normal_(0, 0.05)
+    sd = {k: _t2n(v) for k, v in tmod.state_dict().items()}
+
+    fmod = TemporalConvBlockV2(in_dim=C, out_dim=C, dropout=0.0)
+    x = np.random.RandomState(0).randn(1, C, 6, 4, 4).astype(np.float32)
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 4, 1))  # [B, F, H, W, C]
+    params = jax.jit(fmod.init)(jax.random.PRNGKey(0), x_nhwc)
+    new_params, report = map_torch_to_flax(sd, params, strict=True)
+
+    out_f = jax.jit(fmod.apply)(new_params, x_nhwc)
+    with torch.no_grad():
+        out_t = tmod(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(
+        np.asarray(out_f).transpose(0, 4, 1, 2, 3), out_t, atol=1e-4
+    )
