@@ -211,3 +211,28 @@ def test_temporal_conv_parity_with_torch():
     np.testing.assert_allclose(
         np.asarray(out_f).transpose(0, 4, 1, 2, 3), out_t, atol=1e-4
     )
+
+
+@pytest.mark.parity
+def test_vae_key_surface_matches_sd_layout():
+    """The VAE param tree must expose exactly the SD checkpoint key surface
+    (encoder.down.N.block.M..., mid blocks, quant convs) so the released
+    VQGAN_autoencoder.pth maps 1:1."""
+    from videomv_tpu.models.autoencoder import AutoencoderKL
+
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    p = jax.jit(vae.init)(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))
+    flat = jax.tree_util.tree_flatten_with_path(p)[0]
+    names = {"/".join(str(k.key) for k in path if hasattr(k, "key")) for path, _ in flat}
+    for expect in (
+        "encoder/conv_in/kernel",
+        "encoder/down_0_block_0/norm1/scale",
+        "encoder/down_0_downsample_conv/kernel",
+        "encoder/mid_attn_1/q/kernel",
+        "encoder/norm_out/scale",
+        "decoder/up_1_upsample_conv/kernel",
+        "decoder/mid_block_2/conv2/bias",
+        "quant_conv/kernel",
+        "post_quant_conv/bias",
+    ):
+        assert any(expect in n for n in names), expect
