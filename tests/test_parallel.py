@@ -136,3 +136,52 @@ def test_i2v_train_step():
     })
     state, loss2 = step_fn(state, batch, jax.random.PRNGKey(6))
     assert np.isfinite(float(loss2))
+
+
+def test_cfg_dropout_substitutes_negative_embedding():
+    """Dropped text rows must become the provided negative-prompt embedding
+    (reference zero_y_negative, train_t2v_enterance.py:173-175,274), not
+    zeros. Proven end-to-end: a step with p_zero=1 and zero_y=Z must produce
+    exactly the loss of a step with p_zero=0 whose batch y IS Z — and a
+    different loss from the zeros fallback."""
+    mesh = make_mesh(8)
+    diffusion = GaussianDiffusion(
+        schedule="linear_sd",
+        schedule_param=dict(num_timesteps=100, init_beta=0.00085, last_beta=0.0120),
+        mean_type="eps", var_type="fixed_small",
+    )
+    b, f, hw, L, C = 8, 2, 8, 3, 16
+    latents = jax.random.normal(jax.random.PRNGKey(0), (b, 4, f, hw, hw))
+    y = jax.random.normal(jax.random.PRNGKey(1), (b, L, C))
+    zero_y = jax.random.normal(jax.random.PRNGKey(2), (1, L, C))
+
+    def apply_fn(params, xt, t, yy, batch, rng):
+        # output depends on the conditioning so the loss reveals which y
+        # the model actually saw
+        return xt + yy.mean(axis=(1, 2))[:, None, None, None, None]
+
+    opt = optax.sgd(0.0)
+
+    def run(p_zero, zy, y_batch):
+        params = {"w": jnp.zeros(())}
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=replicate(mesh, params),
+            opt_state=replicate(mesh, jax.jit(opt.init)(params)),
+            ema_params=None,
+        )
+        fn = build_train_step(
+            apply_fn, diffusion, opt, mesh, use_ema=False,
+            p_zero=p_zero, zero_y=zy,
+        )
+        batch = shard_batch(mesh, {"latents": latents, "y_words": y_batch})
+        _, loss = fn(state, batch, jax.random.PRNGKey(3))
+        return float(loss)
+
+    dropped = run(1.0, zero_y, y)                       # all rows dropped → Z
+    explicit = run(0.0, zero_y, jnp.broadcast_to(zero_y, (b, L, C)))
+    zeros_fallback = run(1.0, None, y)                  # legacy zeros path
+    kept = run(0.0, zero_y, y)                          # nothing dropped
+    np.testing.assert_allclose(dropped, explicit, rtol=1e-6)
+    assert abs(dropped - zeros_fallback) > 1e-6
+    assert abs(dropped - kept) > 1e-6

@@ -120,7 +120,8 @@ class GEGLU(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        return x * nn.gelu(gate)
+        # reference GEGLU uses torch F.gelu — the exact erf form (util.py:556)
+        return x * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):

@@ -105,8 +105,11 @@ def build_unet_plan(
             if scale in attn_scales:
                 entry.append(("spatial", f"output_blocks_{idx}_{pos}", cout, cout))
                 pos += 1
-                entry.append(("temporal", f"output_blocks_{idx}_{pos}", cout, cout))
-                pos += 1
+                # temporal transformer gated like the encoder (reference
+                # unet_t2v.py:241-250: only under self.temporal_attention)
+                if temporal_attention:
+                    entry.append(("temporal", f"output_blocks_{idx}_{pos}", cout, cout))
+                    pos += 1
             cin = cout
             if i != len(dim_mult) - 1 and j == num_res_blocks:
                 entry.append(("up", f"output_blocks_{idx}_{pos}", cout, cout))
@@ -262,17 +265,20 @@ class UNetSD_T2VBase(nn.Module):
             h = run_entry(h, entry)
             xs.append(h)
 
-        # middle (unet_t2v.py:208-227): Res, Spatial, Temporal, Res
+        # middle (unet_t2v.py:208-227): Res, Spatial[, Temporal], Res — the
+        # temporal member is appended only under temporal_attention, which
+        # shifts the final ResBlock's checkpoint index (2 vs 3)
         mid_ch = self.dim * self.dim_mult[-1]
-        h = run_entry(
-            h,
-            [
-                ("res", "middle_block_0", mid_ch, mid_ch),
-                ("spatial", "middle_block_1", mid_ch, mid_ch),
-                ("temporal", "middle_block_2", mid_ch, mid_ch),
-                ("res", "middle_block_3", mid_ch, mid_ch),
-            ],
-        )
+        mid_entries = [
+            ("res", "middle_block_0", mid_ch, mid_ch),
+            ("spatial", "middle_block_1", mid_ch, mid_ch),
+        ]
+        if self.temporal_attention:
+            mid_entries.append(("temporal", "middle_block_2", mid_ch, mid_ch))
+            mid_entries.append(("res", "middle_block_3", mid_ch, mid_ch))
+        else:
+            mid_entries.append(("res", "middle_block_2", mid_ch, mid_ch))
+        h = run_entry(h, mid_entries)
 
         # decoder with skip concat
         for entry in dec_entries:

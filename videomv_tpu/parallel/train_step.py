@@ -66,6 +66,7 @@ def build_train_step(
     ema_decay: float = 0.9999,
     use_ema: bool = True,
     p_zero: float = 0.1,
+    zero_y=None,
 ):
     """Create the jitted DP train step.
 
@@ -73,6 +74,11 @@ def build_train_step(
     ``y_words`` [B, L, ctx], optional ``camera_data``/``local_image``/
     ``image_embed``. Classifier-free dropout of the text condition happens
     in-step with probability ``p_zero`` (train_t2v_enterance.py:266-276).
+
+    ``zero_y`` [1, L, ctx] is the CLIP embedding of the *negative prompt* —
+    the reference substitutes it (``zero_y_negative``) for dropped rows
+    (train_t2v_enterance.py:173-175,274), matching the uncond row that CFG
+    inference uses. ``None`` falls back to literal zeros.
     """
     if callable(unet_or_apply) and not hasattr(unet_or_apply, "apply"):
         apply_fn = unet_or_apply
@@ -88,9 +94,12 @@ def build_train_step(
         t_rng, n_rng, z_rng, d_rng = jax.random.split(rng, 4)
         t = jax.random.randint(t_rng, (b,), 0, diffusion.num_timesteps)
 
-        # classifier-free dropout: zero the text rows with prob p_zero
+        # classifier-free dropout: dropped rows become the negative-prompt
+        # embedding (reference zero_y_negative), so train-time uncond matches
+        # the CFG uncond row used at inference
         drop = jax.random.bernoulli(z_rng, p_zero, (b,))
-        y = jnp.where(drop[:, None, None], 0.0, batch["y_words"])
+        uncond = 0.0 if zero_y is None else jnp.asarray(zero_y, batch["y_words"].dtype)
+        y = jnp.where(drop[:, None, None], uncond, batch["y_words"])
 
         def model_fn(xt, ts):
             return apply_fn(params, xt, ts, y, batch, d_rng)

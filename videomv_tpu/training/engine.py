@@ -161,11 +161,18 @@ class T2VTrainer:
             ema_params=replicate(self.mesh, ema0) if use_ema else None,
         )
         apply_fn = make_i2v_apply(self.unet) if self.is_i2v else make_t2v_apply(self.unet)
+        # dropped-row substitute = CLIP embedding of the negative prompt
+        # (reference zero_y_negative, train_t2v_enterance.py:174,274)
+        neg_toks = jnp.asarray(tokenize([str(cfg.get("negative_prompt", ""))]))
+        zero_y = jax.jit(
+            lambda p, tk: self.clip.apply(p, tk, method=self.clip.encode_text)[1]
+        )(self.params["clip"], neg_toks)
         self.train_step = build_train_step(
             apply_fn, self.diffusion, self.optimizer, self.mesh,
             ema_decay=float(cfg.get("ema_decay", 0.9999)),
             use_ema=use_ema,
             p_zero=float(cfg.get("p_zero", 0.1)),
+            zero_y=zero_y,
         )
         return self
 
