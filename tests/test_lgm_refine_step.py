@@ -80,11 +80,43 @@ def test_lgm_refine_training_step():
         render_size=R, splat_backend="dense",
     )
     frozen = (replicate(mesh, unet_params), replicate(mesh, vae_params))
+    # step_fn donates its state; keep an undonated copy for the LPIPS run
+    lgm_params_copy = jax.tree_util.tree_map(lambda x: x + 0.0, lgm_params)
     before = jax.device_get(
         jax.tree_util.tree_leaves(state.lgm_params)[0]
     ).copy()
-    state, loss, psnr = step_fn(state, frozen, shard_batch(mesh, batch), rng)
+    state, loss, aux = step_fn(state, frozen, shard_batch(mesh, batch), rng)
     assert np.isfinite(float(loss)) and float(loss) > 0
-    assert np.isfinite(float(psnr))
+    assert np.isfinite(float(aux["psnr"]))
+    assert float(aux["loss_lpips"]) == 0.0  # no lpips module given
     after = jax.device_get(jax.tree_util.tree_leaves(state.lgm_params)[0])
     assert np.abs(after - before).max() > 0, "LGM params must update"
+
+    # --- with LPIPS: loss must include a nonzero perceptual term and equal
+    # the no-lpips loss plus lambda * lpips (reference core/models.py:167-184)
+    from videomv_tpu.models.lpips import LPIPS
+
+    lpips = LPIPS()
+    probe = jnp.zeros((1, 3, R, R))
+    lpips_params = jax.jit(lpips.init)(jax.random.fold_in(rng, 5), probe, probe)
+    state2 = LGMTrainState(
+        step=jnp.zeros((), jnp.int32),
+        lgm_params=replicate(mesh, lgm_params_copy),
+        opt_state=replicate(mesh, jax.jit(opt.init)(lgm_params_copy)),
+    )
+    step_lp = build_lgm_refine_step(
+        make_t2v_apply(unet), vae, lgm, diffusion, opt, mesh,
+        n_input_views=2, n_supervise_extra=1,
+        render_size=R, splat_backend="dense", lpips=lpips, lambda_lpips=0.5,
+    )
+    frozen_lp = frozen + (replicate(mesh, lpips_params),)
+    state2, loss_lp, aux_lp = step_lp(
+        state2, frozen_lp, shard_batch(mesh, batch), rng
+    )
+    lp_term = float(aux_lp["loss_lpips"])
+    assert np.isfinite(float(loss_lp))
+    assert lp_term != 0.0, "LPIPS term must contribute"
+    # fresh state above reproduces the same MSE part (same rng at step 0)
+    np.testing.assert_allclose(
+        float(loss_lp), float(loss) + 0.5 * lp_term, rtol=1e-5
+    )

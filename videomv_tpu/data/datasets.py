@@ -77,6 +77,10 @@ class GObjaverseVideoDataset:
     max_frames: int = 24
     background: int = 128
     prepare_lgm: bool = True
+    # full-resolution frames+masks for GS supervision (reference
+    # video_dataset.py:93,182 loads 512² images_output so LGM renders are
+    # supervised at output_size=512); 0 falls back to `resolution`
+    gs_full_size: int = 512
     gs_settings: GSCameraSettings = field(default_factory=GSCameraSettings)
     replica: int = 1000
     seed: int = 0
@@ -110,8 +114,12 @@ class GObjaverseVideoDataset:
             pngs.append(os.path.join(obj_dir, f"{v:05d}", f"{v:05d}.png"))
             cam_json = os.path.join(obj_dir, f"{v:05d}", f"{v:05d}.json")
             cams.append(read_camera_matrix_single(cam_json).flatten())
-        # C++ threaded decode+composite+resize (PIL fallback inside)
-        rgb, a, _, _ = load_views(pngs, out_size=size, background=self.background)
+        # C++ threaded decode+composite+resize (PIL fallback inside); the
+        # full-size pass feeds GS supervision at 512² like the reference
+        full = self.gs_full_size if (self.prepare_lgm and self.gs_full_size) else 0
+        rgb, a, frgb, fa = load_views(
+            pngs, out_size=size, background=self.background, full_size=full
+        )
         video = rgb.transpose(0, 3, 1, 2)  # [F, 3, H, W]
         mask = a.transpose(0, 3, 1, 2)
         camera = np.stack(cams)  # [F, 16]
@@ -127,13 +135,16 @@ class GObjaverseVideoDataset:
             "caption": caption,
         }
         if self.prepare_lgm:
-            item["gs_data"] = self.prepare_gs(camera, video, mask)
+            sup_img = frgb.transpose(0, 3, 1, 2) if frgb is not None else video
+            sup_mask = fa.transpose(0, 3, 1, 2) if fa is not None else mask
+            item["gs_data"] = self.prepare_gs(camera, sup_img, sup_mask)
         return item
 
-    def prepare_gs(self, camera: np.ndarray, video: np.ndarray, mask: np.ndarray):
+    def prepare_gs(self, camera: np.ndarray, images01: np.ndarray, masks: np.ndarray):
         """Pose canonicalization + rays + colmap matrices — the TRAINING
         chain (reference video_dataset.py:103-144; see cameras.py note on
-        the inference-chain discrepancy)."""
+        the inference-chain discrepancy). ``images01`` [F,3,R,R] in [0,1] and
+        ``masks`` [F,1,R,R] are the (full-resolution) supervision targets."""
         from .cameras import prepare_gs_training
 
         gs = prepare_gs_training(
@@ -144,8 +155,8 @@ class GObjaverseVideoDataset:
             "cam_view": gs["cam_view"][0],
             "cam_view_proj": gs["cam_view_proj"][0],
             "cam_pos": gs["cam_pos"][0],
-            "images_output": (video * 0.5 + 0.5).astype(np.float32),
-            "masks_output": mask.astype(np.float32),
+            "images_output": images01.astype(np.float32),
+            "masks_output": masks.astype(np.float32),
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -178,9 +189,11 @@ class GObjaverseI2VDataset(GObjaverseVideoDataset):
             for k in ("video", "mask", "camera_data"):
                 item[k] = np.roll(item[k], -shift, axis=0)
             if "gs_data" in item:
-                item["gs_data"] = self.prepare_gs(
-                    item["camera_data"], (item["video"] + 1) / 2, item["mask"]
-                )
+                # roll the full-res supervision targets with the views and
+                # recanonicalize poses against the new first view
+                sup_i = np.roll(item["gs_data"]["images_output"], -shift, axis=0)
+                sup_m = np.roll(item["gs_data"]["masks_output"], -shift, axis=0)
+                item["gs_data"] = self.prepare_gs(item["camera_data"], sup_i, sup_m)
         # reference frame = first view after roll
         item["ref_frame"] = item["video"][0]
         return item

@@ -3,6 +3,7 @@ from .unet_i2v import UNetSD_I2VGen
 from .autoencoder import AutoencoderKL
 from .clip import OpenCLIPTextVisual, CLIPTextTower, CLIPVisionTower
 from .lgm import LGM, LGMOptions
+from .lpips import LPIPS, convert_lpips
 
 __all__ = [
     "UNetSD_T2VBase",
@@ -14,4 +15,6 @@ __all__ = [
     "CLIPVisionTower",
     "LGM",
     "LGMOptions",
+    "LPIPS",
+    "convert_lpips",
 ]

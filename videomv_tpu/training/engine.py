@@ -72,7 +72,10 @@ class T2VTrainer:
         self.max_frames = int(cfg.get("frame_lens", [24])[0])
         self.resolution = list(cfg.get("resolution", [256, 256]))
         self.scale_factor = float(cfg.get("scale_factor", 0.18215))
-        self.mesh = make_mesh()
+        self.use_lgm_refine = bool(cfg.get("UNet", {}).get("use_lgm_refine", False))
+        # dp_devices limits the data mesh (batch must divide it); default all
+        n_dp = cfg.get("dp_devices")
+        self.mesh = make_mesh(int(n_dp) if n_dp else None)
 
         self.params: Dict[str, Any] = {}
         self.state: Optional[TrainState] = None
@@ -135,6 +138,13 @@ class T2VTrainer:
             if m:
                 self.resume_step = int(m.group(1))
 
+        if self.use_lgm_refine:
+            # LGM-only finetune: freeze the whole denoiser/VAE, train the LGM
+            # through re-rendered-view supervision (reference
+            # train_i2v_enterance.py:154-165)
+            self._init_lgm_refine(cfg, unet_params)
+            return self
+
         self.optimizer = build_optimizer(
             lr=float(cfg.get("lr", 3e-5)),
             weight_decay=float(cfg.get("weight_decay", 0.0)),
@@ -175,6 +185,116 @@ class T2VTrainer:
             zero_y=zero_y,
         )
         return self
+
+    def _init_lgm_refine(self, cfg: AttrDict, unet_params):
+        """LGM-only finetune mode (cfg.UNet.use_lgm_refine): the reference
+        freezes every non-``lgm_big`` parameter (train_i2v_enterance.py:162-165)
+        and trains the LGM with MSE + λ·LPIPS supervision on re-rendered
+        views (core/models.py:167-184). Here the LGM tree is simply the only
+        optimized tree; UNet/VAE/LPIPS ride along frozen."""
+        from ..models.lgm import LGM, LGMOptions
+        from ..models.lpips import LPIPS, convert_lpips
+        from .lgm_refine import LGMTrainState, build_lgm_refine_step
+
+        preset = cfg.get("lgm_opts", "big")
+        if isinstance(preset, str):
+            opts = getattr(LGMOptions, preset)()
+        else:  # dict of LGMOptions kwargs (tiny test configs)
+            kw = {k: tuple(v) if isinstance(v, list) else v for k, v in dict(preset).items()}
+            opts = LGMOptions(**kw)
+        self.lgm = LGM(opt=opts, dtype=self.dtype)
+        s = opts.input_size
+        lgm_in = jnp.zeros((1, opts.num_input_views, 9, s, s))
+        lgm_params = jax.jit(self.lgm.init)(jax.random.PRNGKey(7), lgm_in)
+        lp = cfg.get("lgm_pretrain")
+        if lp and os.path.exists(lp):
+            from .checkpoints import convert_lgm, load_torch_checkpoint
+
+            lgm_params, rep = convert_lgm(load_torch_checkpoint(lp), lgm_params)
+            logger.info(
+                "lgm pretrain %s: %d matched / %d missing", lp,
+                len(rep["matched"]), len(rep["missing"]),
+            )
+
+        self.lpips = LPIPS()
+        probe = jnp.zeros((1, 3, 32, 32))
+        lpips_params = jax.jit(self.lpips.init)(jax.random.PRNGKey(8), probe, probe)
+        lpp = cfg.get("lpips_pretrain")
+        if lpp and os.path.exists(lpp):
+            from .checkpoints import load_torch_checkpoint
+
+            lpips_params, _ = convert_lpips(load_torch_checkpoint(lpp), lpips_params)
+
+        self.optimizer = build_optimizer(
+            lr=float(cfg.get("lr", 3e-5)),
+            weight_decay=float(cfg.get("weight_decay", 0.0)),
+            warmup_steps=int(cfg.get("warmup_steps", 10)),
+            total_steps=int(cfg.get("num_steps", 1_000_000)),
+            decay_mode=str(cfg.get("decay_mode", "cosine")),
+            optimizer=str(cfg.get("optimizer", "adamw")),
+        )
+        self.lgm_state = LGMTrainState(
+            step=jnp.asarray(self.resume_step, jnp.int32),
+            lgm_params=replicate(self.mesh, lgm_params),
+            opt_state=replicate(self.mesh, jax.jit(self.optimizer.init)(lgm_params)),
+        )
+        self.frozen = (
+            replicate(self.mesh, unet_params),
+            replicate(self.mesh, self.params["vae"]),
+            replicate(self.mesh, lpips_params),
+        )
+        apply_fn = make_i2v_apply(self.unet) if self.is_i2v else make_t2v_apply(self.unet)
+        self.refine_step = build_lgm_refine_step(
+            apply_fn, self.vae, self.lgm, self.diffusion, self.optimizer,
+            self.mesh, scale_factor=self.scale_factor,
+            n_input_views=int(opts.num_input_views),
+            n_supervise_extra=max(int(opts.num_views) - int(opts.num_input_views), 0),
+            render_size=int(opts.output_size), fovy_deg=float(opts.fovy),
+            splat_backend=str(cfg.get("splat_backend", "dense")),
+            lpips=self.lpips,
+            lambda_lpips=float(cfg.get("lambda_lpips", opts.lambda_lpips)),
+        )
+
+    def _gs_features(self, host_batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """GS supervision block for the refine step: rays + colmap matrices +
+        full-res ground-truth views. Falls back to deriving everything from
+        ``camera_data``/``video`` when the dataset carries no gs_data
+        (synthetic smoke path)."""
+        opts = self.lgm.opt
+        if "gs_data" in host_batch:
+            gs = host_batch["gs_data"]
+            rays, cv, cvp = gs["input"], gs["cam_view"], gs["cam_view_proj"]
+            imgs, masks = gs["images_output"], gs["masks_output"]
+        else:
+            from ..data.cameras import GSCameraSettings, prepare_gs_training
+
+            st = GSCameraSettings(
+                input_size=opts.input_size, output_size=opts.output_size,
+                fovy=opts.fovy, znear=opts.znear, zfar=opts.zfar,
+            )
+            cams = np.asarray(host_batch["camera_data"])
+            per = [
+                prepare_gs_training(cams[i][None], st, ray_size=opts.input_size)
+                for i in range(cams.shape[0])
+            ]  # canonicalization is per-item (pose 0 of each sample)
+            rays = np.concatenate([g["input_rays"] for g in per])
+            cv = np.concatenate([g["cam_view"] for g in per])
+            cvp = np.concatenate([g["cam_view_proj"] for g in per])
+            imgs = np.asarray(host_batch["video"]) * 0.5 + 0.5
+            masks = np.asarray(
+                host_batch.get("mask", np.ones_like(imgs[:, :, :1]))
+            )
+        imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
+        r = int(opts.output_size)
+        if imgs.shape[-1] != r:
+            b, f = imgs.shape[:2]
+            imgs = jax.image.resize(imgs, (b, f, 3, r, r), method="bilinear")
+            masks = jax.image.resize(masks, (b, f, 1, r, r), method="bilinear")
+        return {
+            "gs_rays": jnp.asarray(rays), "cam_view": jnp.asarray(cv),
+            "cam_view_proj": jnp.asarray(cvp),
+            "images_gt": imgs, "masks_gt": masks,
+        }
 
     # -------------------------------------------------------------- data
 
@@ -319,15 +439,29 @@ class T2VTrainer:
             )
             host_batch = next(image_batches if use_image else batches)
             feats = self.encode_batch(host_batch)
-            feats = shard_batch(self.mesh, feats)
-            self.state, loss = self.train_step(self.state, feats, rng)
+            if self.use_lgm_refine:
+                feats.update(self._gs_features(host_batch))
+                feats = shard_batch(self.mesh, feats)
+                self.lgm_state, loss, aux = self.refine_step(
+                    self.lgm_state, self.frozen, feats, rng
+                )
+                step = int(self.lgm_state.step)
+                if step % log_interval == 0:
+                    logger.info(
+                        "refine psnr %.2f lpips %.4f",
+                        float(aux["psnr"]), float(aux["loss_lpips"]),
+                    )
+            else:
+                feats = shard_batch(self.mesh, feats)
+                self.state, loss = self.train_step(self.state, feats, rng)
+                step = int(self.state.step)
             losses.append(loss)
-            step = int(self.state.step)
             if step % log_interval == 0:
                 lv = float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses[-log_interval:]])))
                 rate = (i + 1) / (time.time() - t_start)
                 logger.info("step %d loss %.4f (%.2f it/s)", step, lv, rate)
-            if viz_hook is not None and step % viz_interval == 0 and step > 0:
+            if (viz_hook is not None and self.state is not None
+                    and step % viz_interval == 0 and step > 0):
                 viz_params = (
                     self.state.ema_params
                     if self.state.ema_params is not None
@@ -381,40 +515,67 @@ class T2VTrainer:
         train_t2v_enterance.py:393-411)."""
         import orbax.checkpoint as ocp
 
-        step = int(self.state.step)
-        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            path,
-            {
+        if self.use_lgm_refine:
+            step = int(self.lgm_state.step)
+            payload = {
+                "lgm_params": jax.device_get(self.lgm_state.lgm_params),
+                "opt_state": jax.device_get(self.lgm_state.opt_state),
+                "step": step,
+            }
+        else:
+            step = int(self.state.step)
+            payload = {
                 "params": jax.device_get(self.state.params),
                 "ema_params": jax.device_get(self.state.ema_params)
                 if self.state.ema_params is not None
                 else {},
+                # full train-state resume: optimizer moments restart from a
+                # cold state in the reference (train_t2v_enterance.py:393-411
+                # saves weights only) — orbax makes the complete resume free
+                "opt_state": jax.device_get(self.state.opt_state),
                 "step": step,
-            },
-            force=True,
-        )
+            }
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         logger.info("saved checkpoint %s", path)
         return path
 
     def restore(self, path: str):
+        """Full train-state resume, including optimizer moments (the
+        reference restarts Adam state on resume; orbax restores it free)."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
+        if self.use_lgm_refine:
+            from .lgm_refine import LGMTrainState
+
+            target = {
+                "lgm_params": jax.device_get(self.lgm_state.lgm_params),
+                "opt_state": jax.device_get(self.lgm_state.opt_state),
+                "step": 0,
+            }
+            restored = ckptr.restore(os.path.abspath(path), target)
+            self.lgm_state = LGMTrainState(
+                step=jnp.asarray(restored["step"], jnp.int32),
+                lgm_params=replicate(self.mesh, restored["lgm_params"]),
+                opt_state=replicate(self.mesh, restored["opt_state"]),
+            )
+            return self
         target = {
             "params": jax.device_get(self.state.params),
             "ema_params": jax.device_get(self.state.ema_params)
             if self.state.ema_params is not None
             else {},
+            "opt_state": jax.device_get(self.state.opt_state),
             "step": 0,
         }
         restored = ckptr.restore(os.path.abspath(path), target)
         self.state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=replicate(self.mesh, restored["params"]),
-            opt_state=self.state.opt_state,
+            opt_state=replicate(self.mesh, restored["opt_state"]),
             ema_params=replicate(self.mesh, restored["ema_params"])
             if self.state.ema_params is not None
             else None,

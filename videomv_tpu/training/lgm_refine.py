@@ -55,6 +55,8 @@ def build_lgm_refine_step(
     render_size: int = 256,
     fovy_deg: float = 39.6,
     splat_backend: str = "dense",
+    lpips=None,
+    lambda_lpips: float = 1.0,
 ):
     """Create the jitted LGM-finetune step.
 
@@ -62,6 +64,11 @@ def build_lgm_refine_step(
     ``camera_data``, and the gs supervision block: ``gs_rays`` [B,F,6,S,S],
     ``cam_view``/``cam_view_proj`` [B,F,4,4], ``images_gt`` [B,F,3,R,R]
     in [0,1], ``masks_gt`` [B,F,1,R,R].
+
+    ``lpips`` is an optional ``models.lpips.LPIPS`` module; when given, the
+    ``frozen`` tuple gains its params as a fourth element and the loss adds
+    ``lambda_lpips * LPIPS(pred, gt)`` on ≤256² bilinear-resized [-1,1]
+    views (reference core/models.py:167-184, lambda_lpips=1.0).
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
@@ -69,7 +76,8 @@ def build_lgm_refine_step(
     vid_std = jnp.asarray(_VID_STD).reshape(1, 1, 3, 1, 1)
 
     def loss_fn(lgm_params, frozen, batch, rng):
-        unet_params, vae_params = frozen
+        unet_params, vae_params = frozen[0], frozen[1]
+        lpips_params = frozen[2] if lpips is not None else None
         latents = batch["latents"]
         b, _, f = latents.shape[:3]
         t_rng, n_rng, v_rng, e_rng, d_rng, bg_rng = jax.random.split(rng, 6)
@@ -118,8 +126,24 @@ def build_lgm_refine_step(
         loss_img = jnp.mean((out["image"] - gt_img) ** 2)
         loss_alpha = jnp.mean((out["alpha"] - gt_mask) ** 2)
         loss = loss_img + loss_alpha
+        loss_lpips = jnp.zeros(())
+        if lpips is not None and lambda_lpips > 0:
+            # reference core/models.py:172-181: views flattened, mapped to
+            # [-1,1], bilinear-resized to ≤256² before the VGG tower
+            nv = out["image"].shape[1]
+            lp_size = min(256, render_size)
+            pred = out["image"].reshape(b * nv, 3, render_size, render_size)
+            gt = gt_img.reshape(b * nv, 3, render_size, render_size)
+            if render_size != lp_size:
+                shape = (b * nv, 3, lp_size, lp_size)
+                pred = jax.image.resize(pred, shape, method="bilinear")
+                gt = jax.image.resize(gt, shape, method="bilinear")
+            loss_lpips = jnp.mean(
+                lpips.apply(lpips_params, gt * 2.0 - 1.0, pred * 2.0 - 1.0)
+            )
+            loss = loss + lambda_lpips * loss_lpips
         psnr = -10.0 * jnp.log10(jnp.mean((out["image"] - gt_img) ** 2) + 1e-12)
-        return loss, {"psnr": psnr}
+        return loss, {"psnr": psnr, "loss_lpips": loss_lpips}
 
     @functools.partial(
         jax.jit,
@@ -134,6 +158,6 @@ def build_lgm_refine_step(
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.lgm_params)
         new_params = optax.apply_updates(state.lgm_params, updates)
-        return LGMTrainState(state.step + 1, new_params, new_opt), loss, aux["psnr"]
+        return LGMTrainState(state.step + 1, new_params, new_opt), loss, aux
 
     return refine_step
