@@ -28,6 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention"]
 
+# interpret-mode switch: lets the CPU test suite execute the kernel body
+# (tests/test_pallas_kernels.py); always False in production
+INTERPRET = False
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     q = q_ref[0]  # [BQ, D]
@@ -92,6 +96,7 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
             bytes_accessed=(qh.size + kh.size + vh.size) * q.dtype.itemsize * 2,
             transcendentals=b * h * sq * sk,
         ),
+        interpret=INTERPRET,
     )(qh, kh, vh)
 
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

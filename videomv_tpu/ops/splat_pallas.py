@@ -46,6 +46,10 @@ from .gaussian_splat import project_gaussians
 TILE = 16
 PAIR_CHUNK = 512
 
+# interpret-mode switch: lets the CPU test suite execute the kernel body
+# (tests/test_pallas_kernels.py); always False in production
+INTERPRET = False
+
 
 def _bin_pairs(
     mean2d, inv_cov, depth, radius, color, opacity, valid,
@@ -207,7 +211,7 @@ def _composite_tiles(payload, tile_start, tile_count, n_tiles_side, max_pairs):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 4, TILE * TILE), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -228,6 +232,7 @@ def _composite_tiles(payload, tile_start, tile_count, n_tiles_side, max_pairs):
             bytes_accessed=max_pairs * 12 * 4,
             transcendentals=max_pairs * TILE * TILE,
         ),
+        interpret=INTERPRET,
     )(tile_start, tile_count, payload)
 
     # untile: [T, 4, 256] -> [S, S, 4]
