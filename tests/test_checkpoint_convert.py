@@ -236,3 +236,23 @@ def test_vae_key_surface_matches_sd_layout():
         "post_quant_conv/bias",
     ):
         assert any(expect in n for n in names), expect
+
+
+@pytest.mark.parity
+def test_load_weights_raises_on_mostly_unmatched_checkpoint(tmp_path):
+    """A checkpoint that matches almost nothing must fail loudly instead of
+    silently proceeding with random-init weights (pipeline.load_weights)."""
+    from safetensors.numpy import save_file
+
+    from videomv_tpu.config import load_config
+    from videomv_tpu.inference.pipeline import T2VPipeline
+
+    junk = tmp_path / "junk.safetensors"
+    save_file({"totally.wrong.key.weight": np.zeros((3, 3), np.float32)}, str(junk))
+
+    cfg = load_config("configs/t2v_infer_tiny.yaml", opts=[])
+    cfg.test_model = str(junk)
+    pipe = T2VPipeline(cfg)
+    pipe.init_params(load=False)
+    with pytest.raises(ValueError, match="matched only"):
+        pipe.load_weights()

@@ -41,7 +41,10 @@ def test_lgm_output_shapes_and_ranges(lgm_setup):
     assert gn[..., 0:3].min() >= -1 and gn[..., 0:3].max() <= 1        # pos
     assert gn[..., 3:4].min() >= 0 and gn[..., 3:4].max() <= 1          # opacity
     assert gn[..., 4:7].min() >= 0                                       # scale
-    norms = np.linalg.norm(gn[..., 7:11], axis=-1)
+    # reference quirk (core/models.py:42): bare F.normalize uses dim=1, so
+    # each quat COMPONENT is unit-normalized across the N Gaussians — not
+    # per-quaternion (see test_reference_parity.py)
+    norms = np.linalg.norm(gn[..., 7:11], axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)                    # quat
     assert gn[..., 11:14].min() >= 0 and gn[..., 11:14].max() <= 1       # rgb
 

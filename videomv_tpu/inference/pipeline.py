@@ -179,14 +179,28 @@ class T2VPipeline:
         if cfg.get("lgm_pretrain") and os.path.exists(cfg.lgm_pretrain) and self.lgm is not None:
             jobs.append(("lgm", cfg.lgm_pretrain, convert_lgm))
 
+        min_matched = float(cfg.get("min_matched_fraction", 0.9))
         for name, path, fn in jobs:
             sd = load_torch_checkpoint(path)
             self._params[name], report = fn(sd, self._params[name])
+            n_target = len(report["matched"]) + len(report["missing"])
+            frac = len(report["matched"]) / max(n_target, 1)
             logger.info(
-                "loaded %s from %s: %d matched, %d missing, %d unexpected",
-                name, path, len(report["matched"]), len(report["missing"]),
-                len(report["unexpected"]),
+                "loaded %s from %s: %d matched (%.0f%%), %d missing, %d unexpected",
+                name, path, len(report["matched"]), 100 * frac,
+                len(report["missing"]), len(report["unexpected"]),
             )
+            # a mostly-unmatched load means silent garbage outputs — fail
+            # loudly instead of proceeding with random-init weights
+            # (tolerant-load parity covers a few heads, not a layout mismatch)
+            if frac < min_matched:
+                raise ValueError(
+                    f"checkpoint {path} matched only {frac:.1%} of the {name} "
+                    f"param tree (threshold {min_matched:.0%}); first missing: "
+                    f"{report['missing'][:5]}; first mismatched: "
+                    f"{report['mismatched'][:3]}. Set min_matched_fraction in "
+                    "the config to override."
+                )
 
     # ---------------------------------------------------------- builders
 

@@ -88,7 +88,9 @@ class MVAttention(nn.Module):
     attends to every other (reference core/unet.py:11-49)."""
 
     dim: int
-    num_heads: int = 8
+    # reference blocks pass attention_heads=16 (core/unet.py:116,155,196 —
+    # the MVAttention ctor default of 8 is never used by the UNet)
+    num_heads: int = 16
     num_frames: int = 4
     skip_scale: float = 1.0
     dtype: Dtype = jnp.float32
@@ -275,8 +277,15 @@ class LGM(nn.Module):
         opacity = jax.nn.sigmoid(x[..., 3:4])
         scale = 0.1 * jax.nn.softplus(x[..., 4:7])
         rotation = x[..., 7:11]
+        # reference quirk, reproduced exactly (core/models.py:42): rot_act is
+        # bare F.normalize, whose DEFAULT dim=1 normalizes each quaternion
+        # component across ALL N Gaussians (upstream LGM used dim=-1; VideoMV
+        # dropped the lambda). The rasterizer consumes the result raw (no
+        # per-quat renormalize, matching the CUDA computeCov3D), so the
+        # near-zero quats → ~identity rotations behavior is baked into the
+        # released weights and must be matched for PSNR parity.
         rotation = rotation / jnp.clip(
-            jnp.linalg.norm(rotation, axis=-1, keepdims=True), 1e-8, None
+            jnp.linalg.norm(rotation, axis=1, keepdims=True), 1e-12, None
         )
         rgb = 0.5 * jnp.tanh(x[..., 11:14]) + 0.5
         return jnp.concatenate([pos, opacity, scale, rotation, rgb], axis=-1)
