@@ -164,3 +164,61 @@ def test_gradients_flow():
     assert np.abs(gn).max() > 0, "gradient should be nonzero"
     # position gradient specifically (the hard one for rasterizers)
     assert np.abs(gn[0, 0, :3]).max() > 0
+
+
+def test_render_depth_monotonic_with_distance():
+    """Depth output: a gaussian pushed farther from the camera must composite
+    a larger depth (reference ashawkey-fork depth channel, core/gs.py:74)."""
+    import numpy as np
+    from videomv_tpu.data.cameras import GSCameraSettings, orbit_c2w_opengl, prepare_gs_training
+
+    st = GSCameraSettings(input_size=32, output_size=32)
+    cams = prepare_gs_training(orbit_c2w_opengl(1, 0.0, 1.5), st, ray_size=16)
+    cv = jnp.asarray(cams["cam_view"][:, :1])
+    cvp = jnp.asarray(cams["cam_view_proj"][:, :1])
+
+    def scene(z):
+        g = np.zeros((1, 1, 14), np.float32)
+        g[0, 0, 0:3] = [0, 0, z]
+        g[0, 0, 3] = 0.95          # opacity
+        g[0, 0, 4:7] = 0.2         # scale
+        g[0, 0, 7] = 1.0           # identity quat
+        g[0, 0, 11:14] = 0.8
+        return jnp.asarray(g)
+
+    out_near = render_gaussians(scene(0.4), cv, cvp, img_size=32, backend="dense")
+    out_far = render_gaussians(scene(-0.4), cv, cvp, img_size=32, backend="dense")
+    c = 16
+    d_near = float(out_near["depth"][0, 0, 0, c, c])
+    d_far = float(out_far["depth"][0, 0, 0, c, c])
+    a_near = float(out_near["alpha"][0, 0, 0, c, c])
+    assert a_near > 0.5
+    assert d_far > d_near > 0.0
+
+
+def test_ply_roundtrip():
+    """save_ply → load_ply reproduces the (pruned) gaussians exactly
+    (reference core/gs.py:97-185 activation (de)compaction)."""
+    import numpy as np
+    import tempfile, os
+    from videomv_tpu.ops.ply_io import load_ply, save_ply
+
+    rs = np.random.default_rng(0)
+    n = 64
+    g = np.zeros((1, n, 14), np.float32)
+    g[0, :, 0:3] = rs.uniform(-1, 1, (n, 3))
+    g[0, :, 3] = rs.uniform(0.0, 1.0, n)           # some below the 0.005 prune
+    g[0, :, 4:7] = rs.uniform(0.01, 0.2, (n, 3))
+    quat = rs.normal(size=(n, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    g[0, :, 7:11] = quat
+    g[0, :, 11:14] = rs.uniform(0, 1, (n, 3))
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "g.ply")
+        kept = save_ply(g, path)
+        back = load_ply(path)
+
+    mask = g[0, :, 3] >= 0.005
+    assert kept == int(mask.sum()) == back.shape[1]
+    np.testing.assert_allclose(back[0], g[0][mask], rtol=1e-4, atol=1e-5)

@@ -72,11 +72,13 @@ def test_splat_pallas_forward_matches_dense(interpret_kernels):
     bg = jnp.asarray([1.0, 1.0, 1.0])
     tan_half_fov = float(np.tan(0.5 * np.deg2rad(39.6)))
 
-    img_p, alpha_p = sp._rasterize_pallas_fwd_impl(
+    img_p, alpha_p, depth_p = sp._rasterize_pallas_fwd_impl(
         gaussians, cv, cvp, img_size, tan_half_fov, bg,
         max_pairs=1 << 12, max_span=16,
     )
-    img_d, alpha_d = rasterize_dense(gaussians, cv, cvp, img_size, tan_half_fov, bg)
+    img_d, alpha_d, depth_d = rasterize_dense(
+        gaussians, cv, cvp, img_size, tan_half_fov, bg
+    )
 
     assert float(jnp.asarray(alpha_d).max()) > 0.1, "scene must hit the screen"
     np.testing.assert_allclose(
@@ -85,25 +87,30 @@ def test_splat_pallas_forward_matches_dense(interpret_kernels):
     np.testing.assert_allclose(
         np.asarray(alpha_p), np.asarray(alpha_d), rtol=1e-4, atol=1e-4
     )
+    np.testing.assert_allclose(
+        np.asarray(depth_p), np.asarray(depth_d), rtol=1e-4, atol=1e-4
+    )
+    # composited depth must be positive where the scene is opaque
+    assert float((jnp.asarray(depth_d) * (jnp.asarray(alpha_d) > 0.5)).max()) > 0.0
 
 
 def test_splat_pallas_grads_match_dense(interpret_kernels):
-    """The custom VJP (dense-path recompute) must agree with the dense
-    gradient — guards the forward/backward consistency contract."""
+    """The dedicated Pallas backward kernel (+ XLA binning VJP) must agree
+    with the dense rasterizer gradient on the same scene."""
     img_size = 16
     gaussians, cv, cvp = _random_scene(64, rng_seed=3)
     bg = jnp.asarray([0.0, 0.0, 0.0])
     tan_half_fov = float(np.tan(0.5 * np.deg2rad(39.6)))
 
     def loss_pallas(g):
-        img, alpha = sp.rasterize_pallas(
+        img, alpha, depth = sp.rasterize_pallas(
             g, cv, cvp, img_size, tan_half_fov, bg, 1 << 11, 16
         )
-        return jnp.sum(img ** 2) + jnp.sum(alpha)
+        return jnp.sum(img ** 2) + jnp.sum(alpha) + 0.3 * jnp.sum(depth ** 2)
 
     def loss_dense(g):
-        img, alpha = rasterize_dense(g, cv, cvp, img_size, tan_half_fov, bg)
-        return jnp.sum(img ** 2) + jnp.sum(alpha)
+        img, alpha, depth = rasterize_dense(g, cv, cvp, img_size, tan_half_fov, bg)
+        return jnp.sum(img ** 2) + jnp.sum(alpha) + 0.3 * jnp.sum(depth ** 2)
 
     g_p = jax.grad(loss_pallas)(gaussians)
     g_d = jax.grad(loss_dense)(gaussians)

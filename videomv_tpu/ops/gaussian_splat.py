@@ -60,66 +60,71 @@ def project_gaussians(
     Returns (mean2d [N,2] pixel coords, inv_cov2d [N,3] (a,b,c) of the
     symmetric inverse 2D covariance, depth [N], radius [N], color [N,3],
     opacity [N], valid [N])."""
-    pos = gaussians[:, 0:3]
-    opacity = gaussians[:, 3]
-    scale = gaussians[:, 4:7]
-    quat = gaussians[:, 7:11]
-    color = gaussians[:, 11:14]
+    # geometry matmuls are tiny (K∈{3,4}) but feed exp(): keep them true
+    # fp32 on TPU (default bf16 passes shift mean2d by ~1e-2 px → ~1e-1
+    # image error through the alpha falloff)
+    with jax.default_matmul_precision("highest"):
+        pos = gaussians[:, 0:3]
+        opacity = gaussians[:, 3]
+        scale = gaussians[:, 4:7]
+        quat = gaussians[:, 7:11]
+        color = gaussians[:, 11:14]
 
-    pos_h = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], axis=1)
-    p_view = pos_h @ cam_view  # [N, 4]
-    depth = p_view[:, 2]
 
-    p_hom = pos_h @ cam_view_proj
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    ndc = p_hom[:, :3] * p_w[:, None]
-    # ndc2Pix: ((v + 1) * S - 1) * 0.5
-    mean2d = ((ndc[:, :2] + 1.0) * img_size - 1.0) * 0.5
+        pos_h = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], axis=1)
+        p_view = pos_h @ cam_view  # [N, 4]
+        depth = p_view[:, 2]
 
-    # 3D covariance
-    R = quat_to_rotmat(quat)
-    M = R * scale[:, None, :]  # R @ diag(s)
-    cov3d = M @ M.transpose(0, 2, 1)
+        p_hom = pos_h @ cam_view_proj
+        p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+        ndc = p_hom[:, :3] * p_w[:, None]
+        # ndc2Pix: ((v + 1) * S - 1) * 0.5
+        mean2d = ((ndc[:, :2] + 1.0) * img_size - 1.0) * 0.5
 
-    # EWA projection: world->camera rotation acts as p_view = p @ V[:3,:3]
-    # so the row-vector W is V[:3,:3]; cov_cam = Wᵀ Σ W in row convention.
-    W = cam_view[:3, :3]
-    cov_cam = W.T[None] @ cov3d @ W[None]
+        # 3D covariance
+        R = quat_to_rotmat(quat)
+        M = R * scale[:, None, :]  # R @ diag(s)
+        cov3d = M @ M.transpose(0, 2, 1)
 
-    focal = img_size / (2.0 * tan_half_fov)
-    tz = depth
-    # clamp the tangent-plane coords like the CUDA kernel (1.3 · tan_fov)
-    lim = 1.3 * tan_half_fov
-    tx = jnp.clip(p_view[:, 0] / tz, -lim, lim) * tz
-    ty = jnp.clip(p_view[:, 1] / tz, -lim, lim) * tz
+        # EWA projection: world->camera rotation acts as p_view = p @ V[:3,:3]
+        # so the row-vector W is V[:3,:3]; cov_cam = Wᵀ Σ W in row convention.
+        W = cam_view[:3, :3]
+        cov_cam = W.T[None] @ cov3d @ W[None]
 
-    z2 = tz * tz
-    J = jnp.zeros((pos.shape[0], 2, 3))
-    J = J.at[:, 0, 0].set(focal / tz)
-    J = J.at[:, 0, 2].set(-(focal * tx) / z2)
-    J = J.at[:, 1, 1].set(focal / tz)
-    J = J.at[:, 1, 2].set(-(focal * ty) / z2)
+        focal = img_size / (2.0 * tan_half_fov)
+        tz = depth
+        # clamp the tangent-plane coords like the CUDA kernel (1.3 · tan_fov)
+        lim = 1.3 * tan_half_fov
+        tx = jnp.clip(p_view[:, 0] / tz, -lim, lim) * tz
+        ty = jnp.clip(p_view[:, 1] / tz, -lim, lim) * tz
 
-    cov2d = J @ cov_cam @ J.transpose(0, 2, 1)
-    a = cov2d[:, 0, 0] + 0.3
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+        z2 = tz * tz
+        J = jnp.zeros((pos.shape[0], 2, 3))
+        J = J.at[:, 0, 0].set(focal / tz)
+        J = J.at[:, 0, 2].set(-(focal * tx) / z2)
+        J = J.at[:, 1, 1].set(focal / tz)
+        J = J.at[:, 1, 2].set(-(focal * ty) / z2)
 
-    det = a * c - b * b
-    valid = (depth > 0.2) & (det > 0.0)
-    det = jnp.where(det == 0.0, 1.0, det)
-    inv_cov = jnp.stack([c / det, -b / det, a / det], axis=1)
+        cov2d = J @ cov_cam @ J.transpose(0, 2, 1)
+        a = cov2d[:, 0, 0] + 0.3
+        b = cov2d[:, 0, 1]
+        c = cov2d[:, 1, 1] + 0.3
 
-    mid = 0.5 * (a + c)
-    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+        det = a * c - b * b
+        valid = (depth > 0.2) & (det > 0.0)
+        det = jnp.where(det == 0.0, 1.0, det)
+        inv_cov = jnp.stack([c / det, -b / det, a / det], axis=1)
+
+        mid = 0.5 * (a + c)
+        lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+        radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
     return mean2d, inv_cov, depth, radius, color, opacity, valid
 
 
 def _composite_tile(
     px: jnp.ndarray,  # [P, 2] pixel centers
-    mean2d, inv_cov, color, opacity, order,  # projected gaussians (sorted idx)
+    mean2d, inv_cov, color, opacity, depth, order,  # projected (sorted idx)
     chunk: int,
 ):
     """Exact front-to-back compositing of all Gaussians over P pixels,
@@ -138,6 +143,7 @@ def _composite_tile(
         ic = inv_cov[idxs]      # [K, 3]
         col = color[idxs]       # [K, 3]
         op = opacity[idxs]      # [K]
+        dep = depth[idxs]       # [K]
 
         d = px[None, :, :] - m[:, None, :]          # [K, P, 2]
         power = -0.5 * (
@@ -153,6 +159,7 @@ def _composite_tile(
         T_excl = jnp.concatenate([jnp.ones((1, P)), cp[:-1]], axis=0) * T[None]
         w = alpha * T_excl                                       # [K, P]
         C = C + jnp.einsum("kp,kc->pc", w, col)
+        D = D + jnp.einsum("kp,k->p", w, dep)
         T_new = T * cp[-1]
         return (T_new, C, D), None
 
@@ -161,8 +168,8 @@ def _composite_tile(
     D0 = jnp.zeros((P,))
     idx_chunks = order_p.reshape(n_chunks, chunk)
     live_chunks = pad_mask.reshape(n_chunks, chunk)
-    (T, C, _), _ = jax.lax.scan(body, (T0, C0, D0), (idx_chunks, live_chunks))
-    return C, 1.0 - T
+    (T, C, D), _ = jax.lax.scan(body, (T0, C0, D0), (idx_chunks, live_chunks))
+    return C, 1.0 - T, D
 
 
 def rasterize_dense(
@@ -175,11 +182,12 @@ def rasterize_dense(
     chunk: int = 256,
     tile: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One view → (image [3, S, S], alpha [1, S, S]). Dense (no binning)."""
+    """One view → (image [3,S,S], alpha [1,S,S], depth [1,S,S]). Dense."""
     mean2d, inv_cov, depth, radius, color, opacity, valid = project_gaussians(
         gaussians, cam_view, cam_view_proj, img_size, tan_half_fov
     )
     opacity = jnp.where(valid, opacity, 0.0)
+    depth_c = jnp.where(valid, depth, 0.0)
     order = jnp.argsort(jnp.where(valid, depth, jnp.inf))
 
     S = img_size
@@ -194,16 +202,18 @@ def rasterize_dense(
     comp = functools.partial(
         _composite_tile,
         mean2d=mean2d, inv_cov=inv_cov, color=color, opacity=opacity,
-        order=order, chunk=chunk,
+        depth=depth_c, order=order, chunk=chunk,
     )
-    C, A = jax.lax.map(lambda p: comp(p), px_tiles)  # [T, P, 3], [T, P]
+    C, A, D = jax.lax.map(lambda p: comp(p), px_tiles)  # [T,P,3], [T,P], [T,P]
     C = C.reshape(S * S, 3)
     A = A.reshape(S * S)
+    D = D.reshape(S * S)
     img = C + (1.0 - A)[:, None] * bg_color[None, :]
     img = jnp.clip(img, 0.0, 1.0)
     return (
         img.reshape(S, S, 3).transpose(2, 0, 1),
         A.reshape(1, S, S),
+        D.reshape(1, S, S),
     )
 
 
@@ -260,5 +270,5 @@ def render_gaussians(
     def per_batch(g, cvs, cvps):
         return jax.vmap(lambda cv, cvp: one_view(g, cv, cvp))(cvs, cvps)
 
-    imgs, alphas = jax.vmap(per_batch)(gaussians, cam_view, cam_view_proj)
-    return {"image": imgs, "alpha": alphas}
+    imgs, alphas, depths = jax.vmap(per_batch)(gaussians, cam_view, cam_view_proj)
+    return {"image": imgs, "alpha": alphas, "depth": depths}

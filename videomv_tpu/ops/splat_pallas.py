@@ -1,4 +1,4 @@
-"""Tile-binned differentiable Gaussian splatting — the Pallas TPU kernel.
+"""Tile-binned differentiable Gaussian splatting — the Pallas TPU kernels.
 
 TPU-native replacement for the reference's CUDA rasterizer
 (``diff-gaussian-rasterization`` submodule, consumed at core/gs.py:57-83).
@@ -11,23 +11,35 @@ Same visual model (EWA projection + depth-ordered alpha compositing over
     3. tile binning WITHOUT dynamic shapes: per-Gaussian tile-span counts →
        exclusive cumsum → ``jnp.repeat(..., total_repeat_length=P)`` expands
        to a fixed-capacity pair list in depth order; a stable sort by tile id
-       yields per-tile contiguous, depth-ordered segments
-    4. gather pair payloads into a [12, P] lane-friendly buffer
+       yields per-tile contiguous, depth-ordered segments (adjacent tiles
+       may share a boundary 512-pair chunk; kernels mask the overhang)
+    4. gather pair payloads into a [16, capacity] lane-friendly buffer
 
-  Pallas (per-tile grid):
+  Pallas forward (per-tile grid):
     5. for each of the (S/16)² tiles: DMA pair-payload chunks HBM→VMEM,
        evaluate α(x) = min(.99, o·exp(-½ dᵀΣ'⁻¹d)) for 256 pixels × chunk,
        composite front-to-back with a carried transmittance (chunk-local
-       cumulative products), write the 16×16 RGB+α tile.
+       cumulative products as ONE triangular matmul on the MXU), write the
+       16×16 RGB+α tile.
+
+  Pallas backward (per-tile grid, the custom VJP of step 5):
+    6. re-walk the same chunks front-to-back, rebuild per-pair
+       transmittances, and accumulate dL/d(mean2d, inv_cov, color, opacity)
+       per pair into the dpayload chunks by read-modify-write (the TPU
+       Pallas grid is SEQUENTIAL on one TensorCore, so accumulating into a
+       boundary chunk shared with the neighbouring tile is race-free; the
+       output is zero-initialized through input_output_aliasing). The
+       suffix term Σ_{j>i} w_j c_j is C_total − (inclusive prefix), with the
+       inclusive prefix again a triangular matmul. Gradients flow from
+       pairs back to per-Gaussian attributes (and through projection to 3D
+       params) via the VJP of the XLA gather/scatter in step 3-4 — pairs of
+       the same Gaussian across tiles are combined by the scatter-add XLA
+       derives automatically.
 
 Capacity knobs: ``max_pairs`` (pair-list capacity; overflow drops the
 deepest pairs — graceful degradation identical in spirit to the CUDA
 renderer's buffer reallocation) and ``max_span`` (tile-span clamp per
 Gaussian).
-
-Backward: custom VJP via the dense reference implementation on the *same*
-inputs (exact same math, so gradients are consistent); a dedicated Pallas
-backward kernel is the next perf step for training-time rendering.
 """
 
 from __future__ import annotations
@@ -46,7 +58,7 @@ from .gaussian_splat import project_gaussians
 TILE = 16
 PAIR_CHUNK = 512
 
-# interpret-mode switch: lets the CPU test suite execute the kernel body
+# interpret-mode switch: lets the CPU test suite execute the kernel bodies
 # (tests/test_pallas_kernels.py); always False in production
 INTERPRET = False
 
@@ -55,7 +67,7 @@ def _bin_pairs(
     mean2d, inv_cov, depth, radius, color, opacity, valid,
     img_size: int, max_pairs: int, max_span: int,
 ):
-    """Build the depth-ordered, tile-sorted pair list (steps 2-4)."""
+    """Build the depth-ordered, tile-sorted, chunk-aligned pair list."""
     N = mean2d.shape[0]
     n_tiles_side = img_size // TILE
     n_tiles = n_tiles_side * n_tiles_side
@@ -67,6 +79,7 @@ def _bin_pairs(
     color = color[order]
     opacity = jnp.where(valid[order], opacity[order], 0.0)
     radius = jnp.where(valid[order], radius[order], 0.0)
+    depth = jnp.where(valid[order], depth[order], 0.0)
 
     # tile spans
     tx0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / TILE), 0, n_tiles_side - 1).astype(jnp.int32)
@@ -106,7 +119,7 @@ def _bin_pairs(
 
     # pair payload [16, P]: mx, my, ica, icb, icc, r, g, b, opacity, pad×7
     # (attributes in sublanes, pairs in lanes — DMA slices are lane-aligned
-    # 512-pair chunks at global chunk boundaries).  Assemble the per-Gaussian
+    # 512-pair chunks at the aligned offsets).  Assemble the per-Gaussian
     # attribute matrix FIRST and do ONE row-gather to pair order — N small
     # column gathers over 2M pairs are ~4× slower on TPU.
     attrs = jnp.concatenate([
@@ -114,13 +127,36 @@ def _bin_pairs(
         inv_cov,                # 3
         color,                  # 3
         opacity[:, None],       # 1
-        jnp.zeros((N, 7), jnp.float32),  # pad to 16 (sublane-aligned slices)
+        depth[:, None],         # 1 (row 9: view-space depth for the D output)
+        jnp.zeros((N, 6), jnp.float32),  # pad to 16 (sublane-aligned slices)
     ], axis=1)
     payload = attrs[pair_sorted].T.astype(jnp.float32)
-    # dead pairs get zero opacity
-    payload = payload * (pair_idx[None, :] < total)
+    payload = payload * pair_live[None, :]  # dead pairs get zero payload
 
     return payload, tile_start, tile_count, n_tiles_side
+
+
+def _pair_terms(data, px, py, start, count, off):
+    """Shared fwd/bwd per-chunk math: α, masks, and the quadratic terms."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
+    gidx = off + j
+    live = (gidx >= start) & (gidx < start + count)
+
+    mx, my = data[0:1, :], data[1:2, :]
+    ia, ib, ic = data[2:3, :], data[3:4, :], data[4:5, :]
+    op = data[8:9, :]
+
+    dx = px - mx        # [256, CHUNK]
+    dy = py - my
+    power = -0.5 * (ia * dx * dx + ic * dy * dy) - ib * dx * dy
+    expp = jnp.exp(power)
+    raw = op * expp
+    alpha = jnp.minimum(0.99, raw)
+    dead = (power > 0.0) | (alpha < 1.0 / 255.0) | (~live)
+    alpha = jnp.where(dead, 0.0, alpha)
+    # where α is clamped at 0.99 it no longer depends on (o, power)
+    gmask = (~dead) & (raw < 0.99)
+    return alpha, gmask, expp, dx, dy, ia, ib, ic
 
 
 def _tile_kernel(
@@ -128,7 +164,7 @@ def _tile_kernel(
     payload_hbm,                      # [16, P] in HBM/ANY
     out_ref,                          # out [1, 4, 256]: rgb rows + alpha row
     scratch, sem,                     # VMEM [16, CHUNK], DMA sem
-    *, n_tiles_side: int, max_pairs: int,
+    *, n_tiles_side: int,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -155,7 +191,8 @@ def _tile_kernel(
     u_strict = (r_i < c_i).astype(jnp.float32)
 
     def body(ci, carry):
-        T, C_rgb = carry  # [256, 1], [256, 3]
+        T, C_rgbd = carry  # [256, 1], [256, 4]
+        # div-mul form: Mosaic can PROVE the HBM slice offset is lane-aligned
         off = (c0 + ci) * PAIR_CHUNK
         copy = pltpu.make_async_copy(
             payload_hbm.at[:, pl.ds(off, PAIR_CHUNK)], scratch, sem
@@ -164,84 +201,273 @@ def _tile_kernel(
         copy.wait()
 
         data = scratch[:, :]  # [16, CHUNK]
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
-        gidx = off + j
-        live = (gidx >= start) & (gidx < start + count)
-
-        mx = data[0:1, :]   # [1, CHUNK]
-        my = data[1:2, :]
-        ia = data[2:3, :]
-        ib = data[3:4, :]
-        ic = data[4:5, :]
-        op = data[8:9, :]
-
-        dx = px - mx        # [256, CHUNK]
-        dy = py - my
-        power = -0.5 * (ia * dx * dx + ic * dy * dy) - ib * dx * dy
-        alpha = jnp.minimum(0.99, op * jnp.exp(power))
-        alpha = jnp.where((power > 0.0) | (alpha < 1.0 / 255.0) | (~live), 0.0, alpha)
+        alpha, _, _, _, _, _, _, _ = _pair_terms(data, px, py, start, count, off)
 
         logs = jnp.log1p(-alpha)  # alpha <= 0.99 keeps this finite
         prefix_excl = jax.lax.dot_general(
             logs, u_strict, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         T_excl = jnp.exp(prefix_excl) * T     # [256, CHUNK]
         w = alpha * T_excl
-        # all three channels in one MXU contraction: [256,C] x [3,C] -> [256,3]
-        rgb = data[5:8, :]
-        C_rgb = C_rgb + jax.lax.dot_general(
-            w, rgb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        # rgb + depth channels in one MXU contraction: [256,C] x [4,C] -> [256,4]
+        rgbd = jnp.concatenate([data[5:8, :], data[9:10, :]], axis=0)
+        C_rgbd = C_rgbd + jax.lax.dot_general(
+            w, rgbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         T = T * jnp.exp(jnp.sum(logs, axis=1, keepdims=True))
-        return (T, C_rgb)
+        return (T, C_rgbd)
 
     T0 = jnp.ones((TILE * TILE, 1), jnp.float32)
-    Z = jnp.zeros((TILE * TILE, 3), jnp.float32)
-    T, C_rgb = jax.lax.fori_loop(0, n_chunks, body, (T0, Z))
+    Z = jnp.zeros((TILE * TILE, 4), jnp.float32)
+    T, C_rgbd = jax.lax.fori_loop(0, n_chunks, body, (T0, Z))
 
-    out = jnp.concatenate([C_rgb, 1.0 - T], axis=1)  # [256, 4]
+    # rows: rgb(3), alpha, depth
+    out = jnp.concatenate([C_rgbd[:, :3], 1.0 - T, C_rgbd[:, 3:4]], axis=1)
     out_ref[0, :, :] = out.T
 
 
-def _composite_tiles(payload, tile_start, tile_count, n_tiles_side, max_pairs):
-    """Run the per-tile Pallas compositing kernel for one prepared view."""
-    n_tiles = n_tiles_side * n_tiles_side
+def _tile_bwd_kernel(
+    tile_start_ref, tile_count_ref,   # scalar prefetch [T]
+    payload_hbm,                       # [16, P] in HBM/ANY
+    zeros_hbm,                         # [16, P] aliased to dpay_hbm (init)
+    saved_ref,                         # [1, 5, 256] VMEM: fwd (C_rgb, A, D)
+    grad_ref,                          # [1, 5, 256] VMEM: (gC, gA, gD)
+    dpay_hbm,                          # out [16, P] in HBM/ANY (accumulated)
+    scratch_in, scratch_out, sem_in, sem_out,
+    *, n_tiles_side: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    ty = t // n_tiles_side
+    tx = t % n_tiles_side
 
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (TILE * TILE, 1), 0)
+    px = (pidx % TILE + tx * TILE).astype(jnp.float32)
+    py = (pidx // TILE + ty * TILE).astype(jnp.float32)
+
+    c0 = start // PAIR_CHUNK
+    n_chunks = pl.cdiv(start + count, PAIR_CHUNK) - c0
+
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, PAIR_CHUNK), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, PAIR_CHUNK), 1)
+    u_strict = (r_i < c_i).astype(jnp.float32)
+    ones_px = jnp.ones((1, TILE * TILE), jnp.float32)
+
+    saved = saved_ref[0]                      # [5, 256]: rgb, alpha, depth
+    grad = grad_ref[0]                        # [5, 256]
+    C_tot = jnp.concatenate([saved[:3, :], saved[4:5, :]], axis=0).T  # [256, 4]
+    T_N = (1.0 - saved[3:4, :]).T             # [256, 1]
+    gC = jnp.concatenate([grad[:3, :], grad[4:5, :]], axis=0).T       # [256, 4]
+    gA = grad[3:4, :].T                       # [256, 1]
+    # per-pixel Σ_ch gC·C_tot — the suffix term's constant part
+    g_dot_Ctot = jnp.sum(gC * C_tot, axis=1, keepdims=True)  # [256, 1]
+    gA_TN = gA * T_N                                          # [256, 1]
+
+    def body(ci, carry):
+        T, Cum_g = carry  # [256,1] transmittance in; [256,1] Σ_ch gC·Cum_in
+        off = (c0 + ci) * PAIR_CHUNK  # provably lane-aligned
+        copy = pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(off, PAIR_CHUNK)], scratch_in, sem_in
+        )
+        copy.start()
+        # overlap: fetch the current accumulator chunk while payload lands
+        acc_read = pltpu.make_async_copy(
+            dpay_hbm.at[:, pl.ds(off, PAIR_CHUNK)], scratch_out, sem_out
+        )
+        acc_read.start()
+        copy.wait()
+
+        data = scratch_in[:, :]
+        alpha, gmask, expp, dx, dy, ia, ib, ic = _pair_terms(
+            data, px, py, start, count, off
+        )
+        rgbd = jnp.concatenate([data[5:8, :], data[9:10, :]], axis=0)  # [4, CHUNK]
+
+        logs = jnp.log1p(-alpha)
+        prefix_excl = jax.lax.dot_general(
+            logs, u_strict, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        T_excl = jnp.exp(prefix_excl) * T
+        w = alpha * T_excl                                    # [256, CHUNK]
+
+        # dL/d(color,depth): [4, CHUNK] = gC^T @ w
+        d_rgbd = jax.lax.dot_general(
+            gC, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        # G1(p,i) = Σ_ch gC_ch(p) c_ch(i):  [256,4] x [4,CHUNK]
+        G1 = jax.lax.dot_general(
+            gC, rgbd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        # inclusive prefix of Σ_ch gC_ch w c_ch along the chunk: collapse the
+        # channel sum FIRST (wg = Σ_ch gC_ch(p) c_ch(i) w(p,i) = G1·w), then
+        # one triangular matmul gives the per-pair inclusive cumulation
+        wg = G1 * w                                           # [256, CHUNK]
+        u_incl = (r_i <= c_i).astype(jnp.float32)
+        Gcum = jax.lax.dot_general(
+            wg, u_incl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + Cum_g                                             # [256, CHUNK]
+
+        one_minus = jnp.maximum(1.0 - alpha, 0.01)            # α ≤ 0.99
+        # dL/dα_i(p) = gC·c_i T_i − (gC·C_tot − gC·Cum_i)/(1−α) + gA T_N/(1−α)
+        dalpha = G1 * T_excl - (g_dot_Ctot - Gcum - gA_TN) / one_minus
+
+        dpower = jnp.where(gmask, dalpha * alpha, 0.0)
+        dop_px = jnp.where(gmask, dalpha * expp, 0.0)
+
+        def colsum(m):  # [256, CHUNK] -> [1, CHUNK]
+            return jax.lax.dot_general(
+                ones_px, m, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        d_mx = colsum(dpower * (ia * dx + ib * dy))
+        d_my = colsum(dpower * (ic * dy + ib * dx))
+        d_ia = colsum(dpower * (-0.5 * dx * dx))
+        d_ib = colsum(dpower * (-dx * dy))
+        d_ic = colsum(dpower * (-0.5 * dy * dy))
+        d_op = colsum(dop_px)
+
+        zeros6 = jnp.zeros((6, PAIR_CHUNK), jnp.float32)
+        contrib = jnp.concatenate(
+            [d_mx, d_my, d_ia, d_ib, d_ic, d_rgbd[:3], d_op, d_rgbd[3:4], zeros6],
+            axis=0,
+        )
+        # read-modify-write accumulate: a boundary chunk holds the tail of
+        # the previous tile's segment — its masked positions contribute 0
+        # here, so adding preserves the neighbour's gradients. Safe because
+        # the TPU Pallas grid runs sequentially on one core.
+        acc_read.wait()
+        scratch_out[:, :] = scratch_out[:, :] + contrib
+        wcopy = pltpu.make_async_copy(
+            scratch_out, dpay_hbm.at[:, pl.ds(off, PAIR_CHUNK)], sem_out
+        )
+        wcopy.start()
+        wcopy.wait()
+
+        T_next = T * jnp.exp(jnp.sum(logs, axis=1, keepdims=True))
+        Cum_g_next = Cum_g + jnp.sum(wg, axis=1, keepdims=True)
+        return (T_next, Cum_g_next)
+
+    T0 = jnp.ones((TILE * TILE, 1), jnp.float32)
+    Z = jnp.zeros((TILE * TILE, 1), jnp.float32)
+    jax.lax.fori_loop(0, n_chunks, body, (T0, Z))
+
+
+def _composite_call(payload, tile_start, tile_count, n_tiles_side):
+    """Raw forward pallas call → out_tiles [T, 4, 256] (C pre-bg, alpha)."""
+    n_tiles = n_tiles_side * n_tiles_side
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 4, TILE * TILE), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, 5, TILE * TILE), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((16, PAIR_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-
-    out_tiles = pl.pallas_call(
-        functools.partial(
-            _tile_kernel, n_tiles_side=n_tiles_side, max_pairs=max_pairs
-        ),
+    capacity = payload.shape[1]
+    return pl.pallas_call(
+        functools.partial(_tile_kernel, n_tiles_side=n_tiles_side),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, TILE * TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 5, TILE * TILE), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=max_pairs * TILE * TILE * 20,
-            bytes_accessed=max_pairs * 12 * 4,
-            transcendentals=max_pairs * TILE * TILE,
+            flops=capacity * TILE * TILE * 20,
+            bytes_accessed=capacity * 16 * 4,
+            transcendentals=capacity * TILE * TILE,
         ),
         interpret=INTERPRET,
     )(tile_start, tile_count, payload)
 
-    # untile: [T, 4, 256] -> [S, S, 4]
+
+def _composite_bwd_call(payload, tile_start, tile_count, out_tiles, grad_tiles,
+                        n_tiles_side):
+    n_tiles = n_tiles_side * n_tiles_side
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 5, TILE * TILE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, TILE * TILE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((16, PAIR_CHUNK), jnp.float32),
+            pltpu.VMEM((16, PAIR_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    capacity = payload.shape[1]
+    # zero-init the accumulator by donating a zeros buffer into the output
+    # (pallas outputs are otherwise uninitialized; the kernel RMW-accumulates)
+    zeros = jnp.zeros((16, capacity), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_tile_bwd_kernel, n_tiles_side=n_tiles_side),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, capacity), jnp.float32),
+        # arg 3 = zeros (after the 2 scalar-prefetch args and payload)
+        input_output_aliases={3: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=capacity * TILE * TILE * 40,
+            bytes_accessed=capacity * 16 * 4 * 2,
+            transcendentals=capacity * TILE * TILE,
+        ),
+        interpret=INTERPRET,
+    )(tile_start, tile_count, payload, zeros, out_tiles, grad_tiles)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _composite(payload, tile_start, tile_count, n_tiles_side):
+    return _composite_call(payload, tile_start, tile_count, n_tiles_side)
+
+
+def _composite_fwd(payload, tile_start, tile_count, n_tiles_side):
+    out = _composite_call(payload, tile_start, tile_count, n_tiles_side)
+    return out, (payload, tile_start, tile_count, out)
+
+
+def _composite_bwd(n_tiles_side, res, g):
+    payload, tile_start, tile_count, out = res
+    # chunks no tile walks (the dead-pair region) keep the aliased zeros
+    dpay = _composite_bwd_call(payload, tile_start, tile_count, out, g, n_tiles_side)
+    f0 = np.zeros((), jax.dtypes.float0)
+    return (
+        dpay,
+        np.broadcast_to(f0, tile_start.shape),
+        np.broadcast_to(f0, tile_count.shape),
+    )
+
+
+_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
+def _composite_tiles(payload, tile_start, tile_count, n_tiles_side):
+    """Composite + untile: [16, P] pairs →
+    (img [S,S,3] pre-bg, alpha [S,S], depth [S,S])."""
+    out_tiles = _composite(payload, tile_start, tile_count, n_tiles_side)
     S = n_tiles_side * TILE
     nt = n_tiles_side
-    tiles = out_tiles.reshape(nt, nt, 4, TILE, TILE)
+    tiles = out_tiles.reshape(nt, nt, 5, TILE, TILE)
     img = tiles[:, :, :3].transpose(0, 3, 1, 4, 2).reshape(S, S, 3)
     alpha = tiles[:, :, 3].transpose(0, 2, 1, 3).reshape(S, S)
-    return img, alpha
+    depth = tiles[:, :, 4].transpose(0, 2, 1, 3).reshape(S, S)
+    return img, alpha, depth
 
 
 def _rasterize_pallas_fwd_impl(
@@ -258,10 +484,25 @@ def _rasterize_pallas_fwd_impl(
     payload, tile_start, tile_count, n_tiles_side = _bin_pairs(
         *proj, img_size=img_size, max_pairs=max_pairs, max_span=max_span
     )
-    img, alpha = _composite_tiles(payload, tile_start, tile_count, n_tiles_side, max_pairs)
+    img, alpha, depth = _composite_tiles(payload, tile_start, tile_count, n_tiles_side)
     img = img + (1.0 - alpha)[..., None] * bg_color[None, None, :]
     img = jnp.clip(img, 0.0, 1.0)
-    return img.transpose(2, 0, 1), alpha[None]
+    return img.transpose(2, 0, 1), alpha[None], depth[None]
+
+
+def rasterize_pallas(
+    gaussians, cam_view, cam_view_proj, img_size, tan_half_fov, bg_color,
+    max_pairs: int = 1 << 21, max_span: int = 16,
+):
+    """One view → (image [3,S,S], alpha [1,S,S], depth [1,S,S]).
+
+    Fully differentiable: the Pallas composite carries a dedicated backward
+    kernel; projection and binning autodiff through XLA (the pair gather's
+    VJP scatter-adds per-tile gradients back onto each Gaussian)."""
+    return _rasterize_pallas_fwd_impl(
+        gaussians, cam_view, cam_view_proj, img_size, tan_half_fov, bg_color,
+        max_pairs, max_span,
+    )
 
 
 def rasterize_pallas_batch(
@@ -285,7 +526,7 @@ def rasterize_pallas_batch(
     n_tiles_side = img_size // TILE
 
     # group views so the vmapped prep amortizes sort/gather dispatch while
-    # bounding the live pair-payload memory to G × 16 × max_pairs floats
+    # bounding the live pair-payload memory to G × 16 × capacity floats
     G = 8
     total = B * V
     pad = (-total) % G
@@ -302,13 +543,16 @@ def rasterize_pallas_batch(
 
     def prep_one(g, cv, cvp):
         proj = project_gaussians(g, cv, cvp, img_size, tan_half_fov)
-        return _bin_pairs(*proj, img_size=img_size, max_pairs=max_pairs, max_span=max_span)[:3]
+        p, ts, tc, _ = _bin_pairs(
+            *proj, img_size=img_size, max_pairs=max_pairs, max_span=max_span
+        )
+        return p, ts, tc
 
     def one_view(args):
         payload, ts, tc = args
-        img, alpha = _composite_tiles(payload, ts, tc, n_tiles_side, max_pairs)
+        img, alpha, depth = _composite_tiles(payload, ts, tc, n_tiles_side)
         img = img + (1.0 - alpha)[..., None] * bg_color[None, None, :]
-        return jnp.clip(img, 0.0, 1.0).transpose(2, 0, 1), alpha[None]
+        return jnp.clip(img, 0.0, 1.0).transpose(2, 0, 1), alpha[None], depth[None]
 
     def group(args):
         g, cv, cvp = args
@@ -316,7 +560,7 @@ def rasterize_pallas_batch(
         return jax.lax.map(one_view, (payloads, starts, counts))
 
     n_groups = (total + pad) // G
-    imgs, alphas = jax.lax.map(
+    imgs, alphas, depths = jax.lax.map(
         group,
         (
             g_flat.reshape(n_groups, G, *gaussians.shape[1:]),
@@ -326,46 +570,9 @@ def rasterize_pallas_batch(
     )
     imgs = imgs.reshape(-1, 3, img_size, img_size)[:total]
     alphas = alphas.reshape(-1, 1, img_size, img_size)[:total]
+    depths = depths.reshape(-1, 1, img_size, img_size)[:total]
     return {
         "image": imgs.reshape(B, V, 3, img_size, img_size),
         "alpha": alphas.reshape(B, V, 1, img_size, img_size),
+        "depth": depths.reshape(B, V, 1, img_size, img_size),
     }
-
-
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 6, 7)
-)
-def rasterize_pallas(
-    gaussians, cam_view, cam_view_proj, img_size, tan_half_fov, bg_color,
-    max_pairs: int = 1 << 21, max_span: int = 16,
-):
-    """One view → (image [3,S,S], alpha [1,S,S]) via the tile-binned kernel."""
-    return _rasterize_pallas_fwd_impl(
-        gaussians, cam_view, cam_view_proj, img_size, tan_half_fov, bg_color,
-        max_pairs, max_span,
-    )
-
-
-def _fwd(gaussians, cam_view, cam_view_proj, img_size, tan_half_fov, bg_color,
-         max_pairs, max_span):
-    out = _rasterize_pallas_fwd_impl(
-        gaussians, cam_view, cam_view_proj, img_size, tan_half_fov, bg_color,
-        max_pairs, max_span,
-    )
-    return out, (gaussians, cam_view, cam_view_proj, bg_color)
-
-
-def _bwd(img_size, tan_half_fov, max_pairs, max_span, res, g):
-    from .gaussian_splat import rasterize_dense
-
-    gaussians, cam_view, cam_view_proj, bg_color = res
-    _, vjp = jax.vjp(
-        lambda ga, cv, cvp, bg: rasterize_dense(
-            ga, cv, cvp, img_size, tan_half_fov, bg
-        ),
-        gaussians, cam_view, cam_view_proj, bg_color,
-    )
-    return vjp(g)
-
-
-rasterize_pallas.defvjp(_fwd, _bwd)

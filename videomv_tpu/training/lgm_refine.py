@@ -14,8 +14,8 @@ TPU-native differences:
     become threaded jax.random keys (host-free randomness)
   - LGM params live in their own tree, so "freeze everything but lgm_big"
     is simply: optimizer state over the LGM tree only
-  - rendering goes through the differentiable splat op (Pallas forward,
-    dense VJP; a dedicated Pallas backward kernel is the planned perf step)
+  - rendering goes through the differentiable splat op — Pallas forward
+    AND dedicated Pallas backward on TPU (ops/splat_pallas.py), dense on CPU
 """
 
 from __future__ import annotations
@@ -54,7 +54,7 @@ def build_lgm_refine_step(
     n_supervise_extra: int = 4,
     render_size: int = 256,
     fovy_deg: float = 39.6,
-    splat_backend: str = "dense",
+    splat_backend: str = "auto",
     lpips=None,
     lambda_lpips: float = 1.0,
 ):
