@@ -60,8 +60,27 @@ def setup():
         torch.Tensor.cuda = lambda self, *a, **k: self
 
     class _RotaryEmbedding:
-        def __init__(self, *a, **k):
-            pass
+        """Functional pure-torch stand-in for rotary-embedding-torch's
+        RotaryEmbedding (theta=10000, interleaved pair rotation of the first
+        `dim` channels, applied over the second-to-last axis) — enough for
+        the reference TemporalAttentionBlock (util.py:937-939)."""
+
+        def __init__(self, dim, *a, **k):
+            self.dim = dim
+
+        def rotate_queries_or_keys(self, x):
+            n, d = x.shape[-2], x.shape[-1]
+            rot = min(self.dim, d)
+            inv = 1.0 / (
+                10000 ** (torch.arange(0, rot, 2, dtype=torch.float32) / rot)
+            )
+            freqs = torch.outer(torch.arange(n, dtype=torch.float32), inv)
+            freqs = freqs.repeat_interleave(2, dim=-1)
+            xl, xr = x[..., :rot], x[..., rot:]
+            x1, x2 = xl[..., 0::2], xl[..., 1::2]
+            rot_half = torch.stack((-x2, x1), dim=-1).reshape(xl.shape)
+            xl = xl * freqs.cos() + rot_half * freqs.sin()
+            return torch.cat([xl, xr], dim=-1)
 
     sys.modules["rotary_embedding_torch"].RotaryEmbedding = _RotaryEmbedding
     class _LowerTriangularMask:

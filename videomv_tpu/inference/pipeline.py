@@ -67,7 +67,15 @@ def unet_kwargs_from_cfg(unet_cfg: dict) -> dict:
         attn_scales=tuple(m.get("attn_scales", (1.0, 0.5, 0.25))),
         dropout=m.get("dropout", 0.1),
         temporal_attention=m.get("temporal_attention", True),
+        # USE_TEMPORAL_TRANSFORMER is a code constant in the reference
+        # (unet_t2v.py:27); here the dormant rotary/attemask variants are
+        # reachable via the `temporal_block` key (or the boolean mirror)
+        temporal_block=m.get(
+            "temporal_block",
+            "transformer" if m.get("use_temporal_transformer", True) else "rotary",
+        ),
         temporal_attn_times=m.get("temporal_attn_times", 1),
+        use_sim_mask=m.get("use_sim_mask", False),
         use_fps_condition=m.get("use_fps_condition", False),
         use_camera_condition=m.get("use_camera_condition", True),
         use_checkpoint=m.get("use_checkpoint", False),

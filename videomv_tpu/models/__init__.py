@@ -1,3 +1,11 @@
+from .blocks import (
+    DropPath,
+    RelativePositionBias,
+    TemporalAttentionBlock,
+    TemporalAttentionMultiBlock,
+    TemporalTransformerAttemask,
+    rotary_rotate,
+)
 from .unet_t2v import UNetSD_T2VBase, build_unet_plan
 from .unet_i2v import UNetSD_I2VGen
 from .autoencoder import AutoencoderKL
@@ -17,4 +25,10 @@ __all__ = [
     "LGMOptions",
     "LPIPS",
     "convert_lpips",
+    "DropPath",
+    "RelativePositionBias",
+    "TemporalAttentionBlock",
+    "TemporalAttentionMultiBlock",
+    "TemporalTransformerAttemask",
+    "rotary_rotate",
 ]

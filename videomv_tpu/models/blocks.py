@@ -92,6 +92,7 @@ class CrossAttention(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        attn_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         inner = self.heads * self.dim_head
         context = x if context is None else context
@@ -105,7 +106,7 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, s_kv, self.heads, self.dim_head)
         v = v.reshape(b, s_kv, self.heads, self.dim_head)
 
-        out = dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v, mask=attn_mask)
         out = out.reshape(b, s_q, inner)
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -158,6 +159,7 @@ class BasicTransformerBlock(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        attn_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(
@@ -168,7 +170,7 @@ class BasicTransformerBlock(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             name="attn1",
-        )(h, context if self.disable_self_attn else None, deterministic)
+        )(h, context if self.disable_self_attn else None, deterministic, attn_mask)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(
@@ -179,7 +181,7 @@ class BasicTransformerBlock(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             name="attn2",
-        )(h, context, deterministic)
+        )(h, context, deterministic, attn_mask if context is None else None)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")(
@@ -279,6 +281,263 @@ class TemporalTransformer(nn.Module):
         if self.multiply_zero:
             return x_in
         return x_in + h
+
+
+def rotary_rotate(x: jnp.ndarray, rot_dim: int, theta: float = 10000.0) -> jnp.ndarray:
+    """Rotary position embedding over the sequence axis (axis -2).
+
+    Matches rotary-embedding-torch's ``RotaryEmbedding(dim).rotate_queries_or_keys``
+    as used by the reference TemporalAttentionBlock (util.py:937-939,
+    unet_t2v.py:164: ``RotaryEmbedding(min(32, head_dim))``): interleaved
+    pair rotation of the first ``rot_dim`` channels, remaining channels pass
+    through untouched.
+    """
+    n, d = x.shape[-2], x.shape[-1]
+    inv = 1.0 / theta ** (jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim)
+    freqs = jnp.arange(n, dtype=jnp.float32)[:, None] * inv[None, :]  # [n, rot/2]
+    freqs = jnp.repeat(freqs, 2, axis=-1)  # [n, rot_dim]
+    xl = x[..., :rot_dim].astype(jnp.float32)
+    xr = x[..., rot_dim:]
+    x1, x2 = xl[..., 0::2], xl[..., 1::2]
+    rot_half = jnp.stack([-x2, x1], axis=-1).reshape(xl.shape)
+    xl = xl * jnp.cos(freqs) + rot_half * jnp.sin(freqs)
+    return jnp.concatenate([xl.astype(x.dtype), xr], axis=-1)
+
+
+class RelativePositionBias(nn.Module):
+    """T5-style bucketed relative position bias (util.py:271-309).
+
+    ``__call__(n)`` returns a [heads, n, n] bias added to temporal attention
+    logits. Bucketing is computed on static n, so everything folds into
+    constants under jit."""
+
+    heads: int = 8
+    num_buckets: int = 32
+    max_distance: int = 128
+
+    @nn.compact
+    def __call__(self, n: int) -> jnp.ndarray:
+        q_pos = jnp.arange(n)
+        rel_pos = q_pos[None, :] - q_pos[:, None]  # k - q
+        # _relative_position_bucket (util.py:283-301) with num_buckets=32
+        neg = -rel_pos
+        half = self.num_buckets // 2
+        ret = (neg < 0).astype(jnp.int32) * half
+        an = jnp.abs(neg)
+        max_exact = half // 2
+        val_if_large = max_exact + (
+            jnp.log(jnp.maximum(an, 1).astype(jnp.float32) / max_exact)
+            / jnp.log(self.max_distance / max_exact)
+            * (half - max_exact)
+        ).astype(jnp.int32)
+        val_if_large = jnp.minimum(val_if_large, half - 1)
+        ret = ret + jnp.where(an < max_exact, an, val_if_large)
+        table = nn.Embed(
+            self.num_buckets, self.heads, name="relative_attention_bias"
+        )(ret)  # [n, n, heads]
+        return table.transpose(2, 0, 1)
+
+
+class TemporalAttentionBlock(nn.Module):
+    """Rotary temporal attention over the frame axis (util.py:871-990).
+
+    The dormant reference path (``USE_TEMPORAL_TRANSFORMER=False``,
+    unet_t2v.py:27,163-175): GroupNorm → fused qkv linear → rotary positions
+    on q,k → logits + relative-position bias → optional masks → out linear,
+    residual. ``dim_head`` is recomputed as ``dim // heads`` regardless of the
+    configured head_dim (util.py:885).
+
+    Masks (all optional, combined exactly as the reference does):
+      - ``video_mask [B, F]``: pairwise token validity (joint image/video
+        training padding)
+      - ``focus_present_mask [B]``: rows attend only to themselves — the
+        reference's data-dependent ``.all()`` shortcut (util.py:918-925) is
+        numerically identical to the masked general path, so one compiled
+        path covers it
+      - ``use_sim_mask``: causal lower-triangular (util.py:970-972)
+
+    Input/output: [B, F, H, W, C].
+    """
+
+    dim: int
+    heads: int = 4
+    rotary_dim: int = 32
+    use_image_dataset: bool = False
+    use_sim_mask: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pos_bias: Optional[jnp.ndarray] = None,
+        focus_present_mask: Optional[jnp.ndarray] = None,
+        video_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, f, hh, ww, c = x.shape
+        dim_head = self.dim // self.heads
+        scale = dim_head ** -0.5
+        identity = x
+
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        # b (h w) f c token layout (util.py:911)
+        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f, c)
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="to_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_of(t):  # [bhw, f, dim] -> [bhw, heads, f, dim_head]
+            return t.reshape(b * hh * ww, f, self.heads, dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_of(q), heads_of(k), heads_of(v)
+        # reference order: scale q first, then rotate (util.py:934-939)
+        q = q * scale
+        rot = min(self.rotary_dim, dim_head)
+        q = rotary_rotate(q, rot)
+        k = rotary_rotate(k, rot)
+
+        sim = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        ).astype(jnp.float32)
+        if pos_bias is not None:
+            sim = sim + pos_bias[None, :, :, :]
+
+        neg = jnp.finfo(jnp.float32).min
+        if video_mask is not None and focus_present_mask is None:
+            m = (video_mask[:, None, :] & video_mask[:, :, None])  # [B, f, f]
+            m = jnp.repeat(m, hh * ww, axis=0)[:, None, :, :]
+            sim = jnp.where(m, sim, neg)
+        elif focus_present_mask is not None:
+            eye = jnp.eye(f, dtype=bool)
+            allm = jnp.ones((f, f), dtype=bool)
+            m = jnp.where(focus_present_mask[:, None, None], eye[None], allm[None])
+            m = jnp.repeat(m, hh * ww, axis=0)[:, None, :, :]
+            sim = jnp.where(m, sim, neg)
+        if self.use_sim_mask:
+            tril = jnp.tril(jnp.ones((f, f), dtype=bool))
+            sim = jnp.where(tril[None, None], sim, neg)
+
+        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b * hh * ww, f, self.dim)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = out.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
+
+        if self.use_image_dataset:
+            return identity
+        return identity + out
+
+
+class TemporalAttentionMultiBlock(nn.Module):
+    """Stack of ``temporal_attn_times`` TemporalAttentionBlocks
+    (util.py:1249-1277) — this is where the reference actually honors
+    ``temporal_attn_times`` (the TemporalTransformer path ignores it, which
+    the transformer-path UNet here mirrors)."""
+
+    dim: int
+    heads: int = 4
+    rotary_dim: int = 32
+    temporal_attn_times: int = 1
+    use_image_dataset: bool = False
+    use_sim_mask: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pos_bias: Optional[jnp.ndarray] = None,
+        focus_present_mask: Optional[jnp.ndarray] = None,
+        video_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        for i in range(self.temporal_attn_times):
+            x = TemporalAttentionBlock(
+                dim=self.dim,
+                heads=self.heads,
+                rotary_dim=self.rotary_dim,
+                use_image_dataset=self.use_image_dataset,
+                use_sim_mask=self.use_sim_mask,
+                dtype=self.dtype,
+                name=f"att_layers_{i}",
+            )(x, pos_bias, focus_present_mask, video_mask, deterministic)
+        return x
+
+
+class TemporalTransformerAttemask(nn.Module):
+    """Causal temporal transformer (util.py:1150-1247): the
+    TemporalTransformer layout with every attention lower-triangular-masked
+    (MemoryEfficientCrossAttention_attemask, util.py:430-474, applies
+    ``LowerTriangularMask`` to both attn1 and attn2 of the block).
+
+    Input/output: [B, F, H, W, C]."""
+
+    in_channels: int
+    n_heads: int
+    d_head: int
+    depth: int = 1
+    dropout: float = 0.0
+    multiply_zero: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, f, hh, ww, c = x.shape
+        inner = self.n_heads * self.d_head
+        x_in = x
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f, c)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        causal = jnp.tril(jnp.ones((f, f), dtype=bool))[None, None]
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                dim=inner,
+                n_heads=self.n_heads,
+                d_head=self.d_head,
+                context_dim=None,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{d}",
+            )(h, None, deterministic, attn_mask=causal)
+        h = nn.Dense(
+            c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
+        )(h)
+        h = h.reshape(b, hh, ww, f, c).transpose(0, 3, 1, 2, 4)
+        if self.multiply_zero:
+            return x_in
+        return x_in + h
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic path drop WITHOUT rescaling (util.py:1395-1433).
+
+    The reference draws a Binomial(b, p)-sized random subset of rows to zero;
+    per-sample that is Bernoulli(p), which is what we sample here (i.i.d.,
+    the idiomatic jax.random form). ``zero``/``keep`` boolean overrides force
+    rows to always/never drop, as in the reference."""
+
+    p: float
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        zero: Optional[jnp.ndarray] = None,
+        keep: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if deterministic or self.p == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        b = x.shape[0]
+        drop = jax.random.bernoulli(rng, self.p, (b,))
+        if keep is not None:
+            drop = jnp.where(keep, False, drop)
+        if zero is not None:
+            drop = jnp.where(zero, True, drop)
+        mult = jnp.where(drop, 0.0, 1.0).astype(x.dtype)
+        return x * mult.reshape((b,) + (1,) * (x.ndim - 1))
 
 
 class TemporalConvBlockV2(nn.Module):

@@ -35,9 +35,12 @@ from flax import linen as nn
 
 from .blocks import (
     Downsample,
+    RelativePositionBias,
     ResBlock,
     SpatialTransformer,
+    TemporalAttentionMultiBlock,
     TemporalTransformer,
+    TemporalTransformerAttemask,
     TimestepMLP,
     Upsample,
     sinusoidal_embedding,
@@ -136,7 +139,19 @@ class UNetSD_T2VBase(nn.Module):
     attn_scales: Tuple[float, ...] = (1.0, 0.5, 0.25)
     dropout: float = 0.1
     temporal_attention: bool = True
+    # which temporal mixer fills the "temporal" plan slots:
+    #   'transformer' — TemporalTransformer (reference USE_TEMPORAL_TRANSFORMER
+    #                   =True, unet_t2v.py:27 — the shipped-checkpoint path);
+    #                   ``temporal_attn_times`` is ignored, as the reference
+    #                   ignores it on this path
+    #   'rotary'      — TemporalAttentionMultiBlock: temporal_attn_times ×
+    #                   rotary attention + relative-position bias +
+    #                   focus-present/video/sim masks (the dormant
+    #                   USE_TEMPORAL_TRANSFORMER=False path, util.py:871-1345)
+    #   'attemask'    — causal TemporalTransformer (util.py:1150-1247)
+    temporal_block: str = "transformer"
     temporal_attn_times: int = 1
+    use_sim_mask: bool = False
     use_checkpoint: bool = False
     use_fps_condition: bool = False
     use_camera_condition: bool = True
@@ -177,11 +192,40 @@ class UNetSD_T2VBase(nn.Module):
                 name=name,
             )
         if kind == "temporal":
+            if self.temporal_block == "rotary":
+                # reference passes the UNet-level num_heads to every
+                # MultiBlock (unet_t2v.py:175,194,225,250); the block then
+                # recomputes dim_head = dim // heads itself (util.py:885)
+                mb_cls = (
+                    nn.remat(TemporalAttentionMultiBlock, static_argnums=(5,))
+                    if ck
+                    else TemporalAttentionMultiBlock
+                )
+                return mb_cls(
+                    dim=cout,
+                    heads=self.num_heads,
+                    rotary_dim=min(32, self.head_dim),
+                    temporal_attn_times=self.temporal_attn_times,
+                    use_image_dataset=self.use_image_dataset,
+                    use_sim_mask=self.use_sim_mask,
+                    dtype=d,
+                    name=name,
+                )
+            if self.temporal_block == "attemask":
+                am_cls = (
+                    nn.remat(TemporalTransformerAttemask, static_argnums=(2,))
+                    if ck
+                    else TemporalTransformerAttemask
+                )
+            elif self.temporal_block == "transformer":
+                am_cls = tp_cls
+            else:
+                raise ValueError(f"unknown temporal_block {self.temporal_block!r}")
             # the init block (dim→512 inner) keeps the configured num_heads;
             # all later temporal transformers use cout//head_dim heads
             # (reference unet_t2v.py:172 vs :191)
             n_heads = self.num_heads if name == "input_blocks_0_1" else cout // self.head_dim
-            return tp_cls(
+            return am_cls(
                 in_channels=cout,
                 n_heads=n_heads,
                 d_head=self.head_dim,
@@ -205,12 +249,24 @@ class UNetSD_T2VBase(nn.Module):
         fps: Optional[jnp.ndarray] = None,
         camera_data: Optional[jnp.ndarray] = None,
         zero_y: Optional[jnp.ndarray] = None,
+        video_mask: Optional[jnp.ndarray] = None,
+        focus_present_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         """x: [B, C, F, H, W] (reference layout), t: [B], y: [B, L, y_dim],
-        camera_data: [B, F, 16]. Returns [B, C, F, H, W]."""
+        camera_data: [B, F, 16]. ``video_mask [B, F]`` / ``focus_present_mask
+        [B]`` feed the rotary temporal-attention path only (reference
+        unet_t2v.py:296-320). Returns [B, C, F, H, W]."""
         b, c, f, hh, ww = x.shape
         embed_dim = self.dim * 4
+
+        # relative-position bias for the rotary temporal path (reference
+        # unet_t2v.py:163-165,317-319: heads=num_heads, max_distance=32)
+        pos_bias = None
+        if self.temporal_attention and self.temporal_block == "rotary":
+            pos_bias = RelativePositionBias(
+                heads=self.num_heads, max_distance=32, name="time_rel_pos_bias"
+            )(f)
 
         # ---- embeddings (unet_t2v.py:322-335)
         e = TimestepMLP(embed_dim, dtype=self.dtype, name="time_embed")(
@@ -255,7 +311,10 @@ class UNetSD_T2VBase(nn.Module):
                 elif kind == "temporal":
                     bf, hh_, ww_, c_ = h.shape
                     ht = h.reshape(b, f, hh_, ww_, c_)
-                    ht = mod(ht, deterministic)
+                    if self.temporal_block == "rotary":
+                        ht = mod(ht, pos_bias, focus_present_mask, video_mask, deterministic)
+                    else:
+                        ht = mod(ht, deterministic)
                     h = ht.reshape(bf, hh_, ww_, c_)
             return h
 

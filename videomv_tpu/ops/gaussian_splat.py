@@ -228,6 +228,7 @@ def render_gaussians(
     chunk: int = 256,
     tile: int = 64,
     backend: str = "auto",
+    max_pairs: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched multi-view rendering — the ``GaussianRenderer.render`` contract
     (reference core/gs.py:31-94), with the B×V python loop replaced by vmap.
@@ -254,9 +255,16 @@ def render_gaussians(
     if backend == "pallas":
         from .splat_pallas import rasterize_pallas_batch
 
-        # pair capacity scales with resolution (radius in pixels halves at
-        # half the resolution, quartering expected tile coverage)
-        max_pairs = (1 << 21) if img_size >= 512 else (1 << 20)
+        if max_pairs is None:
+            # The binning sort/repeat/gather cost scales with this STATIC
+            # capacity, not with the live pair count — size it to the scene:
+            # ~8 tile-pairs per Gaussian of headroom (measured LGM scenes run
+            # ~4), capped by the resolution-scaled ceiling. Overflow drops
+            # the deepest pairs gracefully (back of scene), like the CUDA
+            # rasterizer's bounded buffers.
+            cap = (1 << 21) if img_size >= 512 else (1 << 20)
+            need = 1 << max(14, (8 * int(gaussians.shape[1]) - 1).bit_length())
+            max_pairs = min(cap, need)
         return rasterize_pallas_batch(
             gaussians, cam_view, cam_view_proj, img_size, tan_half_fov,
             bg_color, max_pairs=max_pairs,

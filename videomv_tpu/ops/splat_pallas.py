@@ -110,8 +110,22 @@ def _bin_pairs(
     tile_y = ty0[pair_g] + local // sx
     tile_id = jnp.where(pair_live, tile_y * n_tiles_side + tile_x, n_tiles)
 
-    # stable sort by tile keeps the depth order within each tile
-    tile_sorted, pair_sorted = jax.lax.sort((tile_id, pair_g), num_keys=1, is_stable=True)
+    # stable sort by tile keeps the depth order within each tile. Sorting is
+    # the binning bottleneck (XLA's TPU sort makes O(log²) passes over the
+    # arrays), so when (tile_id, pair index) packs into 31 bits we sort ONE
+    # int32 key instead of carrying a second array through every pass —
+    # pair_idx is already depth-ordered, so packing it into the low bits
+    # preserves stability by construction.
+    idx_bits = (max_pairs - 1).bit_length()
+    if (n_tiles + 1) << idx_bits <= 2**32:
+        key = (tile_id.astype(jnp.uint32) << idx_bits) | pair_idx.astype(jnp.uint32)
+        key_sorted = jax.lax.sort(key)
+        tile_sorted = (key_sorted >> idx_bits).astype(jnp.int32)
+        pair_sorted = pair_g[(key_sorted & (max_pairs - 1)).astype(jnp.int32)]
+    else:
+        tile_sorted, pair_sorted = jax.lax.sort(
+            (tile_id, pair_g), num_keys=1, is_stable=True
+        )
 
     starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left")
     tile_start = starts[:-1].astype(jnp.int32)

@@ -81,6 +81,7 @@ class T2VTrainer:
         self.state: Optional[TrainState] = None
         self._encode_batch = None
         self._encode_image = None
+        self._i2v_viz_fn = None
 
     # ------------------------------------------------------------- setup
 
@@ -177,6 +178,7 @@ class T2VTrainer:
         zero_y = jax.jit(
             lambda p, tk: self.clip.apply(p, tk, method=self.clip.encode_text)[1]
         )(self.params["clip"], neg_toks)
+        self.zero_y = zero_y
         self.train_step = build_train_step(
             apply_fn, self.diffusion, self.optimizer, self.mesh,
             ema_decay=float(cfg.get("ema_decay", 0.9999)),
@@ -427,7 +429,11 @@ class T2VTrainer:
         viz_interval = int(cfg.get("viz_interval", 0))
         log_dir = cfg.get("log_dir", "workspace/experiment")
         os.makedirs(log_dir, exist_ok=True)
-        viz_hook = self.make_viz_hook(log_dir) if viz_interval else None
+        viz_hook = (
+            self.make_viz_hook(log_dir)
+            if viz_interval and not self.is_i2v
+            else None
+        )
 
         t_start = time.time()
         losses = []
@@ -460,17 +466,102 @@ class T2VTrainer:
                 lv = float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses[-log_interval:]])))
                 rate = (i + 1) / (time.time() - t_start)
                 logger.info("step %d loss %.4f (%.2f it/s)", step, lv, rate)
-            if (viz_hook is not None and self.state is not None
+            if (viz_interval and self.state is not None
                     and step % viz_interval == 0 and step > 0):
                 viz_params = (
                     self.state.ema_params
                     if self.state.ema_params is not None
                     else self.state.params
                 )
-                viz_hook(step, viz_params)
+                if self.is_i2v:
+                    # I2V viz conditions on the CURRENT batch (reference
+                    # train_i2v_enterance.py:301-327 builds visual_kwards
+                    # from the live y_visual/local_image/camera tensors) —
+                    # a prompt-file T2V pipeline cannot drive an I2V UNet
+                    self.i2v_viz(step, viz_params, feats,
+                                 list(host_batch.get("caption", [])), log_dir)
+                elif viz_hook is not None:
+                    viz_hook(step, viz_params)
             if save_interval and step % save_interval == 0 and step > 0:
                 self.save(os.path.join(log_dir, "checkpoints"))
         return float(jnp.asarray(losses[-1]))
+
+    def i2v_viz(self, step: int, params, feats, captions, log_dir: str):
+        """Batch-conditioned I2V in-training visualization (reference
+        train_i2v_enterance.py:301-327 + visual_train_it2v_video.py:36-123):
+        CFG DDIM from the current batch's reference-image conditioning —
+        cond row = (y_words, image, local_image), uncond row swaps only
+        ``y`` for the negative-prompt embedding, image conditioning stays.
+        Never raises: viz must not kill training."""
+        try:
+            from ..diffusion.samplers import ddim_sample_loop
+            from ..utils.video_io import save_video_grid
+
+            viz_num = min(int(self.cfg.get("viz_num", 1)), feats["latents"].shape[0])
+            steps = int(self.cfg.get("ddim_timesteps", 50))
+            guide_scale = float(
+                self.cfg.get("visual_train", {}).get("guide_scale", 6.0)
+            )
+            if self._i2v_viz_fn is None:
+                unet, vae, diffusion = self.unet, self.vae, self.diffusion
+                sf = self.scale_factor
+
+                @jax.jit
+                def viz_sample(unet_params, vae_params, noise, y, zy, cam,
+                               local, img_emb, rng):
+                    b = noise.shape[0]
+
+                    def cfg_model(xt, t):
+                        x2 = jnp.concatenate([xt, xt], axis=0)
+                        t2 = jnp.concatenate([t, t], axis=0)
+                        y2 = jnp.concatenate(
+                            [y, jnp.broadcast_to(zy, y.shape)], axis=0
+                        )
+                        c2 = jnp.concatenate([cam, cam], axis=0)
+                        l2 = jnp.concatenate([local, local], axis=0)
+                        i2 = jnp.concatenate([img_emb, img_emb], axis=0)
+                        out = unet.apply(
+                            unet_params, x2, t2, y=y2, camera_data=c2,
+                            local_image=l2, image=i2,
+                        )
+                        return out[:b], out[b:]
+
+                    lat = ddim_sample_loop(
+                        diffusion, cfg_model, noise, ddim_timesteps=steps,
+                        eta=0.0, guide_scale=guide_scale, rng=rng,
+                    )
+                    bb, cc, ff, hh, ww = lat.shape
+                    z = lat.transpose(0, 2, 1, 3, 4).reshape(bb * ff, cc, hh, ww) / sf
+                    img = vae.apply(vae_params, z, method=vae.decode)
+                    img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+                    return img.reshape(
+                        bb, ff, 3, img.shape[-2], img.shape[-1]
+                    ).transpose(0, 1, 3, 4, 2)
+
+                self._i2v_viz_fn = viz_sample
+
+            lat = feats["latents"][:viz_num]
+            rng = jax.random.PRNGKey(int(self.cfg.get("seed", 0)) + step)
+            noise_rng, sample_rng = jax.random.split(rng)
+            noise = jax.random.normal(noise_rng, lat.shape, jnp.float32)
+            frames = self._i2v_viz_fn(
+                params, self.params["vae"], noise,
+                feats["y_words"][:viz_num], self.zero_y,
+                feats["camera_data"][:viz_num],
+                feats["local_image"][:viz_num],
+                feats["image_embed"][:viz_num], sample_rng,
+            )
+            out_dir = os.path.join(log_dir, "viz")
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"viz_step_{step:08d}.mp4")
+            frames = (np.asarray(frames) * 255).astype(np.uint8)
+            save_video_grid(
+                path, [f for f in frames],
+                (captions or [""] * viz_num)[:viz_num],
+            )
+            logger.info("wrote i2v visualization %s", path)
+        except Exception as e:
+            logger.warning("i2v viz failed: %s", e)
 
     def make_viz_hook(self, log_dir: str):
         """In-training DDIM visualization (reference visual_train hook,
