@@ -26,8 +26,8 @@ B, V, S = 2, 24, 256
 N = 4 * 128 * 128
 settings = GSCameraSettings(output_size=S)
 gs = prepare_gs_training(orbit_c2w_opengl(V, 15.0, 2.0), settings, ray_size=256)
-cam_view = jnp.asarray(gs["cam_view"])[None].repeat(B, 0)        # [B,V,4,4]
-cam_view_proj = jnp.asarray(gs["cam_view_proj"])[None].repeat(B, 0)
+cam_view = jnp.broadcast_to(jnp.asarray(gs["cam_view"]), (B, V, 4, 4))
+cam_view_proj = jnp.broadcast_to(jnp.asarray(gs["cam_view_proj"]), (B, V, 4, 4))
 tan_half_fov = float(np.tan(0.5 * np.deg2rad(settings.fovy)))
 
 rng = np.random.RandomState(0)

@@ -126,7 +126,15 @@ class GEGLU(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU MLP (util.py:560-577, glu=True as used by the transformers)."""
+    """GEGLU MLP (util.py:560-577, glu=True as used by the transformers).
+
+    Parameters are declared flat with torch-joined names
+    (``net_0_proj_kernel`` ↔ torch ``net.0.proj.weight`` — the converter and
+    the SD-key grad-scale matcher both operate on '_'-joined paths, so the
+    flat layout is checkpoint-identical) so the SAME tree serves two compute
+    paths: the fused Pallas GEGLU-FF kernel on TPU (the FF intermediates are
+    the UNet's largest HBM consumer — see ops/fused_ffn.py) and the plain
+    XLA composition elsewhere / under dropout."""
 
     dim: int
     mult: int = 4
@@ -135,11 +143,34 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from ..ops.fused_ffn import ffn_eligible, geglu_ffn
+
         inner = int(self.dim * self.mult)
-        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
-        return x
+        c_in = x.shape[-1]
+        w1 = self.param("net_0_proj_kernel", default_kernel_init, (c_in, inner * 2))
+        b1 = self.param("net_0_proj_bias", nn.initializers.zeros, (inner * 2,))
+        w2 = self.param("net_2_kernel", default_kernel_init, (inner, self.dim))
+        b2 = self.param("net_2_bias", nn.initializers.zeros, (self.dim,))
+        dt = self.dtype
+
+        lead = x.shape[:-1]
+        t = 1
+        for s in lead:
+            t *= int(s)
+        use_fused = deterministic and ffn_eligible(t, c_in, inner)
+        if use_fused:
+            out = geglu_ffn(
+                x.reshape(t, c_in).astype(dt),
+                w1.astype(dt), b1.astype(jnp.float32),
+                w2.astype(dt), b2.astype(jnp.float32),
+            )
+            return out.reshape(*lead, self.dim)
+
+        h = jnp.dot(x.astype(dt), w1.astype(dt)) + b1.astype(dt)
+        hx, gate = jnp.split(h, 2, axis=-1)
+        h = hx * nn.gelu(gate, approximate=False)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return jnp.dot(h, w2.astype(dt)) + b2.astype(dt)
 
 
 class BasicTransformerBlock(nn.Module):

@@ -104,10 +104,14 @@ def _bin_pairs(
     total = jnp.sum(counts)
     pair_live = pair_idx < total
 
-    local = pair_idx - offsets[pair_g]
-    sx = jnp.maximum(span_x[pair_g], 1)
-    tile_x = tx0[pair_g] + local % sx
-    tile_y = ty0[pair_g] + local // sx
+    # per-pair metadata via ONE [N,4] row-gather — four separate scalar
+    # gathers by pair_g measured 6× slower on TPU (28 vs 4.6 ms/view at
+    # P=2^19; scripts/profile_bin_stages.py)
+    meta = jnp.stack([offsets, jnp.maximum(span_x, 1), tx0, ty0], axis=1)
+    m = meta[pair_g]  # [P, 4]
+    local = pair_idx - m[:, 0]
+    tile_x = m[:, 2] + local % m[:, 1]
+    tile_y = m[:, 3] + local // m[:, 1]
     tile_id = jnp.where(pair_live, tile_y * n_tiles_side + tile_x, n_tiles)
 
     # stable sort by tile keeps the depth order within each tile. Sorting is
