@@ -52,6 +52,21 @@ def geglu_ffn_reference(x, w1, b1, w2, b2):
     ) + b2.astype(x.dtype)
 
 
+def _erf32(x):
+    """Abramowitz–Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7,
+    well under bf16 activation resolution). Mosaic has no `erf` lowering
+    (only exp), so the kernel carries its own."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _ffn_kernel(
     x_ref, w1a_ref, w1b_ref, w2_ref, b1a_ref, b1b_ref, b2_ref,
     o_ref, acc_ref, *, n_inner: int,
@@ -67,7 +82,7 @@ def _ffn_kernel(
         preferred_element_type=jnp.float32,
     ) + b1b_ref[...]
     # exact-erf gelu (reference torch F.gelu; ADVICE round-1)
-    g = lin * (0.5 * gate * (1.0 + jax.lax.erf(gate / _SQRT2)))
+    g = lin * (0.5 * gate * (1.0 + _erf32(gate / _SQRT2)))
     part = jax.lax.dot_general(
         g.astype(w2_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
