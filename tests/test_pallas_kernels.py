@@ -166,3 +166,53 @@ def test_fused_geglu_ffn_grads_match_reference():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w1, w2)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+class TestFusedSpatial:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from videomv_tpu.models.blocks import SpatialTransformer
+
+        rng = jax.random.PRNGKey(5)
+        r, s, c, heads = 2, 512, 128, 2
+        mod = SpatialTransformer(
+            in_channels=c, n_heads=heads, d_head=64, depth=1,
+            context_dim=96, dropout=0.0,
+        )
+        x4 = jax.random.normal(jax.random.fold_in(rng, 0), (r, 16, 32, c)) * 0.5
+        ctx = jax.random.normal(jax.random.fold_in(rng, 1), (r, 7, 96)) * 0.5
+        params = mod.init(jax.random.PRNGKey(0), x4, ctx)
+        return mod, x4, ctx, params
+
+    def test_reference_matches_module(self, setup):
+        """The pure-jnp oracle must equal the module composition exactly."""
+        mod, x4, ctx, params = setup
+        from videomv_tpu.ops.fused_spatial import spatial_block_reference
+
+        r, hh, ww, c = x4.shape
+        want = mod.apply(params, x4, ctx)
+        got = spatial_block_reference(
+            x4.reshape(r, hh * ww, c), ctx, params["params"], mod.n_heads
+        ).reshape(r, hh, ww, c)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_kernel_matches_reference(self, setup, monkeypatch):
+        """Interpret-mode fused kernel vs the oracle (bf16 matmuls inside the
+        kernel → loose tolerance)."""
+        mod, x4, ctx, params = setup
+        import videomv_tpu.ops.fused_spatial as fs
+
+        monkeypatch.setattr(fs, "INTERPRET", True)
+        r, hh, ww, c = x4.shape
+        want = fs.spatial_block_reference(
+            x4.reshape(r, hh * ww, c), ctx, params["params"], mod.n_heads
+        )
+        got = fs._fst_impl(
+            x4.reshape(r, hh * ww, c), ctx, params["params"], mod.n_heads
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=3e-2,
+        )

@@ -245,6 +245,32 @@ class SpatialTransformer(nn.Module):
     ) -> jnp.ndarray:
         bf, hh, ww, c = x.shape
         inner = self.n_heads * self.d_head
+
+        # fully-fused Pallas path for the stage-1 hot shapes: the whole
+        # block (GN → proj_in → self-attn → cross-attn → GEGLU FF →
+        # proj_out) runs VMEM-resident per row (ops/fused_spatial.py). The
+        # module composition below remains the init/training/backstop path
+        # and owns the (identical) parameter tree.
+        if (
+            deterministic
+            and not self.is_initializing()
+            and context is not None
+            and self.depth == 1
+            and not self.disable_self_attn
+            and self.d_head == 64
+        ):
+            from ..ops.fused_spatial import (
+                fused_spatial_transformer,
+                spatial_fused_eligible,
+            )
+
+            if spatial_fused_eligible(hh * ww, c, inner, self.n_heads):
+                p = self.variables["params"]
+                out = fused_spatial_transformer(
+                    x.reshape(bf, hh * ww, c), context, p, self.n_heads
+                )
+                return out.reshape(bf, hh, ww, c)
+
         x_in = x
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         h = h.reshape(bf, hh * ww, c)
