@@ -94,6 +94,44 @@ def test_splat_pallas_forward_matches_dense(interpret_kernels):
     assert float((jnp.asarray(depth_d) * (jnp.asarray(alpha_d) > 0.5)).max()) > 0.0
 
 
+def test_splat_pallas_packed_payload_matches_dense(interpret_kernels):
+    """The 8-row bf16-packed inference payload must match the dense render
+    to bf16-truncation tolerance (colors/opacity lose ≤1 ulp ≈ 0.4%)."""
+    img_size = 32
+    gaussians, cv, cvp = _random_scene(192)
+    bg = jnp.asarray([0.3, 0.5, 0.7])
+    tan_half_fov = float(np.tan(0.5 * np.deg2rad(39.6)))
+
+    out = sp.rasterize_pallas_batch(
+        gaussians[None], cv[None, None], cvp[None, None], img_size,
+        tan_half_fov, bg, max_pairs=1 << 12, packed=True,
+    )
+    img_d, alpha_d, depth_d = rasterize_dense(
+        gaussians, cv, cvp, img_size, tan_half_fov, bg
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["image"][0, 0]), np.asarray(img_d), atol=1.5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["alpha"][0, 0]), np.asarray(alpha_d), atol=1.5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth"][0, 0]), np.asarray(depth_d),
+        rtol=1e-2, atol=5e-2,
+    )
+
+
+def test_splat_packed_pack_unpack_roundtrip():
+    a = jnp.asarray([0.0, 1.0, 0.12345, 3e-4, 250.0], jnp.float32)
+    b = jnp.asarray([0.5, 0.0, 7.5, 1e-5, 0.999], jnp.float32)
+    hi, lo = sp._unpack2(sp._pack2(a, b))
+    np.testing.assert_allclose(
+        np.asarray(hi), np.asarray(a.astype(jnp.bfloat16), np.float32), atol=4e-3)
+    np.testing.assert_allclose(
+        np.asarray(lo), np.asarray(b.astype(jnp.bfloat16), np.float32),
+        rtol=1e-2, atol=1e-7)
+
+
 def test_splat_pallas_grads_match_dense(interpret_kernels):
     """The dedicated Pallas backward kernel (+ XLA binning VJP) must agree
     with the dense rasterizer gradient on the same scene."""

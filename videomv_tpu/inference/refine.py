@@ -101,14 +101,15 @@ def make_refine_fn(
         bg = jnp.full((3,), 0.5, jnp.float32)  # infer() bg_color_factor=0.5
         out = render_gaussians(
             gaussians, cv, cvp, bg_color=bg, img_size=out_size,
-            fovy_deg=gs_settings.fovy, backend=splat_backend,
+            fovy_deg=gs_settings.fovy, backend=splat_backend, packed=True,
         )
         renders = out["image"]  # [2b, V, 3, out, out]
 
         # downsample to the diffusion resolution, scale to [-1, 1], encode
         V = renders.shape[1]
         r = renders.reshape(b2 * V, 3, out_size, out_size)
-        r = jax.image.resize(r, (b2 * V, 3, in_size, in_size), method="nearest")
+        if out_size != in_size:
+            r = jax.image.resize(r, (b2 * V, 3, in_size, in_size), method="nearest")
         r = (r - 0.5) / 0.5
         z = vae.apply(
             params["vae"], r, scale_factor, method=vae.encode_first_stage

@@ -48,6 +48,109 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def prepare_gaussians(gaussians: jnp.ndarray):
+    """View-independent per-scene prep: split the packed [N, 14] attributes
+    and build M = R(q)·diag(s), the 3D-covariance factor (Σ = M Mᵀ).
+
+    Hoisting this out of the per-view projection lets a V-view render pay
+    the quaternion→rotation algebra once per scene instead of once per
+    view. Geometry is forced to fp32 (bf16 positions shift mean2d by
+    ~1e-2 px → ~1e-1 image error through the alpha falloff)."""
+    g = gaussians.astype(jnp.float32)
+    return {
+        "pos": g[:, 0:3],
+        "opacity": g[:, 3],
+        "color": g[:, 11:14],
+        "M": quat_to_rotmat(g[:, 7:11]) * g[:, None, 4:7],  # [N,3,3] R·diag(s)
+    }
+
+
+def project_prepared(
+    prep,
+    cam_view: jnp.ndarray,
+    cam_view_proj: jnp.ndarray,
+    img_size: int,
+    tan_half_fov: float,
+):
+    """EWA-project prepared Gaussians through one view — PURE elementwise
+    math (the tiny per-Gaussian [3,3]/[2,3] matmuls of the textbook
+    formulation are expanded into broadcasted scalar algebra; XLA fuses the
+    whole projection into a couple of kernels instead of padding 3×3
+    batched matmuls onto the MXU).
+
+    Row-vector convention: p_view = [p,1] @ cam_view. The 2D covariance is
+    cov2d = U Σ Uᵀ = (U M)(U M)ᵀ with U = J·Wᵀ, W = cam_view[:3,:3]:
+      U[i,j] = J[i,0]·V[j,0]·δ... expanded below; identical algebra to
+      J @ (Wᵀ Σ W) @ Jᵀ of the CUDA kernel."""
+    pos, M = prep["pos"], prep["M"]
+    color, opacity = prep["color"], prep["opacity"]
+    V = cam_view.astype(jnp.float32)
+    P = cam_view_proj.astype(jnp.float32)
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
+
+    # p_view = pos_h @ V (only x, y, z components are used)
+    pvx = x * V[0, 0] + y * V[1, 0] + z * V[2, 0] + V[3, 0]
+    pvy = x * V[0, 1] + y * V[1, 1] + z * V[2, 1] + V[3, 1]
+    depth = x * V[0, 2] + y * V[1, 2] + z * V[2, 2] + V[3, 2]
+
+    # p_hom = pos_h @ P; ndc2Pix: ((v + 1) * S - 1) * 0.5
+    ph0 = x * P[0, 0] + y * P[1, 0] + z * P[2, 0] + P[3, 0]
+    ph1 = x * P[0, 1] + y * P[1, 1] + z * P[2, 1] + P[3, 1]
+    ph3 = x * P[0, 3] + y * P[1, 3] + z * P[2, 3] + P[3, 3]
+    p_w = 1.0 / (ph3 + 1e-7)
+    mean2d = jnp.stack(
+        [
+            ((ph0 * p_w + 1.0) * img_size - 1.0) * 0.5,
+            ((ph1 * p_w + 1.0) * img_size - 1.0) * 0.5,
+        ],
+        axis=1,
+    )
+
+    focal = img_size / (2.0 * tan_half_fov)
+    tz = depth
+    # clamp the tangent-plane coords like the CUDA kernel (1.3 · tan_fov)
+    lim = 1.3 * tan_half_fov
+    tx = jnp.clip(pvx / tz, -lim, lim) * tz
+    ty = jnp.clip(pvy / tz, -lim, lim) * tz
+    fz = focal / tz
+    gx = focal * tx / (tz * tz)
+    gy = focal * ty / (tz * tz)
+
+    # U = J·Wᵀ rows as [N, 3] (J row 0 = [f/tz, 0, -f·tx/z²], row 1 likewise)
+    U0 = jnp.stack(
+        [fz * V[0, 0] - gx * V[0, 2],
+         fz * V[1, 0] - gx * V[1, 2],
+         fz * V[2, 0] - gx * V[2, 2]], axis=-1)
+    U1 = jnp.stack(
+        [fz * V[0, 1] - gy * V[0, 2],
+         fz * V[1, 1] - gy * V[1, 2],
+         fz * V[2, 1] - gy * V[2, 2]], axis=-1)
+    # Y = U @ M per Gaussian ([N,2,3] via broadcast-multiply + 3-term sum)
+    Y0 = (U0[:, :, None] * M).sum(axis=1)  # [N, 3]
+    Y1 = (U1[:, :, None] * M).sum(axis=1)
+    a = (Y0 * Y0).sum(axis=1) + 0.3
+    b = (Y0 * Y1).sum(axis=1)
+    c = (Y1 * Y1).sum(axis=1) + 0.3
+
+    det = a * c - b * b
+    valid = (depth > 0.2) & (det > 0.0)
+    det = jnp.where(det == 0.0, 1.0, det)
+    inv_cov = jnp.stack([c / det, -b / det, a / det], axis=1)
+
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    # opacity-aware extent: beyond r = σ_max·√(2·ln(255·o)) the compositing
+    # kernels' 1/255 alpha cutoff provably kills every pixel, so a tighter
+    # radius changes nothing in the output while shrinking the tile-binning
+    # pair count (low-opacity Gaussians bin far fewer tiles). Capped at the
+    # CUDA rasterizer's 3σ bound (reference semantics); o ≤ 1/255 culls.
+    cut = jnp.sqrt(jnp.clip(
+        2.0 * jnp.log(255.0 * jnp.maximum(opacity, 1e-12)), 0.0, 9.0))
+    radius = jnp.ceil(cut * jnp.sqrt(lam1))
+
+    return mean2d, inv_cov, depth, radius, color, opacity, valid
+
+
 def project_gaussians(
     gaussians: jnp.ndarray,
     cam_view: jnp.ndarray,
@@ -59,67 +162,13 @@ def project_gaussians(
 
     Returns (mean2d [N,2] pixel coords, inv_cov2d [N,3] (a,b,c) of the
     symmetric inverse 2D covariance, depth [N], radius [N], color [N,3],
-    opacity [N], valid [N])."""
-    # geometry matmuls are tiny (K∈{3,4}) but feed exp(): keep them true
-    # fp32 on TPU (default bf16 passes shift mean2d by ~1e-2 px → ~1e-1
-    # image error through the alpha falloff)
-    with jax.default_matmul_precision("highest"):
-        pos = gaussians[:, 0:3]
-        opacity = gaussians[:, 3]
-        scale = gaussians[:, 4:7]
-        quat = gaussians[:, 7:11]
-        color = gaussians[:, 11:14]
-
-
-        pos_h = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], axis=1)
-        p_view = pos_h @ cam_view  # [N, 4]
-        depth = p_view[:, 2]
-
-        p_hom = pos_h @ cam_view_proj
-        p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-        ndc = p_hom[:, :3] * p_w[:, None]
-        # ndc2Pix: ((v + 1) * S - 1) * 0.5
-        mean2d = ((ndc[:, :2] + 1.0) * img_size - 1.0) * 0.5
-
-        # 3D covariance
-        R = quat_to_rotmat(quat)
-        M = R * scale[:, None, :]  # R @ diag(s)
-        cov3d = M @ M.transpose(0, 2, 1)
-
-        # EWA projection: world->camera rotation acts as p_view = p @ V[:3,:3]
-        # so the row-vector W is V[:3,:3]; cov_cam = Wᵀ Σ W in row convention.
-        W = cam_view[:3, :3]
-        cov_cam = W.T[None] @ cov3d @ W[None]
-
-        focal = img_size / (2.0 * tan_half_fov)
-        tz = depth
-        # clamp the tangent-plane coords like the CUDA kernel (1.3 · tan_fov)
-        lim = 1.3 * tan_half_fov
-        tx = jnp.clip(p_view[:, 0] / tz, -lim, lim) * tz
-        ty = jnp.clip(p_view[:, 1] / tz, -lim, lim) * tz
-
-        z2 = tz * tz
-        J = jnp.zeros((pos.shape[0], 2, 3))
-        J = J.at[:, 0, 0].set(focal / tz)
-        J = J.at[:, 0, 2].set(-(focal * tx) / z2)
-        J = J.at[:, 1, 1].set(focal / tz)
-        J = J.at[:, 1, 2].set(-(focal * ty) / z2)
-
-        cov2d = J @ cov_cam @ J.transpose(0, 2, 1)
-        a = cov2d[:, 0, 0] + 0.3
-        b = cov2d[:, 0, 1]
-        c = cov2d[:, 1, 1] + 0.3
-
-        det = a * c - b * b
-        valid = (depth > 0.2) & (det > 0.0)
-        det = jnp.where(det == 0.0, 1.0, det)
-        inv_cov = jnp.stack([c / det, -b / det, a / det], axis=1)
-
-        mid = 0.5 * (a + c)
-        lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-        radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
-
-    return mean2d, inv_cov, depth, radius, color, opacity, valid
+    opacity [N], valid [N]).  Thin wrapper over
+    ``prepare_gaussians`` + ``project_prepared``; multi-view callers
+    should prepare once and project per view."""
+    return project_prepared(
+        prepare_gaussians(gaussians), cam_view, cam_view_proj,
+        img_size, tan_half_fov,
+    )
 
 
 def _composite_tile(
@@ -229,12 +278,16 @@ def render_gaussians(
     tile: int = 64,
     backend: str = "auto",
     max_pairs: Optional[int] = None,
+    packed: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched multi-view rendering — the ``GaussianRenderer.render`` contract
     (reference core/gs.py:31-94), with the B×V python loop replaced by vmap.
 
     backend: 'auto' (Pallas kernel on TPU when available, else dense),
     'dense', or 'pallas'.
+    packed: pallas-only fast path for inference — bf16-packs colors/opacity
+    into an 8-row pair payload (half the binning-gather and kernel-DMA
+    bytes). NOT differentiable; keep False for training.
     """
     import numpy as np
 
@@ -258,16 +311,16 @@ def render_gaussians(
         if max_pairs is None:
             # The binning sort/repeat/gather cost scales with this STATIC
             # capacity, not with the live pair count — size it to the scene:
-            # ~8 tile-pairs per Gaussian of headroom (measured LGM scenes run
+            # ~5 tile-pairs per Gaussian of headroom (measured LGM scenes run
             # ~4), capped by the resolution-scaled ceiling. Overflow drops
             # the deepest pairs gracefully (back of scene), like the CUDA
             # rasterizer's bounded buffers.
             cap = (1 << 21) if img_size >= 512 else (1 << 20)
-            need = 1 << max(14, (8 * int(gaussians.shape[1]) - 1).bit_length())
+            need = max(16384, -(-5 * int(gaussians.shape[1]) // 4096) * 4096)
             max_pairs = min(cap, need)
         return rasterize_pallas_batch(
             gaussians, cam_view, cam_view_proj, img_size, tan_half_fov,
-            bg_color, max_pairs=max_pairs,
+            bg_color, max_pairs=max_pairs, packed=packed,
         )
 
     def one_view(g, cv, cvp):

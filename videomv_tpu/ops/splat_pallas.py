@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gaussian_splat import project_gaussians
+from .gaussian_splat import prepare_gaussians, project_gaussians, project_prepared
 
 TILE = 16
 PAIR_CHUNK = 512
@@ -63,11 +63,36 @@ PAIR_CHUNK = 512
 INTERPRET = False
 
 
+def _pack2(a, b):
+    """Truncate two fp32 arrays to bf16 and pack them into one fp32-typed
+    lane (a in the high 16 bits, b in the low): halves payload-gather and
+    kernel-DMA bytes for attributes that tolerate bf16 (colors, opacity).
+    Unpacked in-kernel by integer masking + bitcast — bf16 is the top half
+    of fp32, so no 16-bit types are needed anywhere."""
+    ua = jax.lax.bitcast_convert_type(a.astype(jnp.float32), jnp.uint32)
+    ub = jax.lax.bitcast_convert_type(b.astype(jnp.float32), jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        (ua & jnp.uint32(0xFFFF0000)) | (ub >> 16), jnp.float32
+    )
+
+
+def _unpack2(row):
+    """Inverse of _pack2 for in-kernel use: [*, C] fp32 -> (hi, lo) fp32."""
+    u = jax.lax.bitcast_convert_type(row, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return hi, lo
+
+
 def _bin_pairs(
     mean2d, inv_cov, depth, radius, color, opacity, valid,
-    img_size: int, max_pairs: int, max_span: int,
+    img_size: int, max_pairs: int, max_span: int, packed: bool = False,
 ):
-    """Build the depth-ordered, tile-sorted, chunk-aligned pair list."""
+    """Build the depth-ordered, tile-sorted, chunk-aligned pair list.
+
+    ``packed=True`` emits the 8-row inference payload (positions and
+    inverse covariance fp32; colors/opacity/depth bf16-packed pairs) —
+    half the HBM bytes of the 16-row differentiable payload."""
     N = mean2d.shape[0]
     n_tiles_side = img_size // TILE
     n_tiles = n_tiles_side * n_tiles_side
@@ -95,37 +120,66 @@ def _bin_pairs(
     span_y = jnp.where(on_screen, jnp.clip(ty1 - ty0 + 1, 0, max_span), 0)
     counts = span_x * span_y
 
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    # fixed-capacity expansion in depth order
-    pair_g = jnp.repeat(
-        jnp.arange(N, dtype=jnp.int32), counts, total_repeat_length=max_pairs
-    )
+    # fixed-capacity expansion in depth order. pair_g[i] = #(run ends ≤ i)
+    # via a scatter-add histogram + cumsum, and the per-run metadata
+    # (span, tile origin) propagates by position-tagged cummax ("latest
+    # run-start wins" becomes a max when the start position occupies the
+    # high bits) — A/B-measured 2× faster than jnp.repeat(+searchsorted)
+    # plus a per-pair meta gather (6.8 → 3.4 ms/view at the refine shapes;
+    # scripts/ab_expand.py).
+    ends = jnp.cumsum(counts)
+    total = ends[-1]
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
-    total = jnp.sum(counts)
     pair_live = pair_idx < total
+    marks = jnp.zeros((max_pairs,), jnp.int32).at[ends[:-1]].add(1, mode="drop")
+    pair_g = jnp.minimum(jnp.cumsum(marks), N - 1)
+    span1 = jnp.maximum(span_x, 1)
 
-    # per-pair metadata via ONE [N,4] row-gather — four separate scalar
-    # gathers by pair_g measured 6× slower on TPU (28 vs 4.6 ms/view at
-    # P=2^19; scripts/profile_bin_stages.py)
-    meta = jnp.stack([offsets, jnp.maximum(span_x, 1), tx0, ty0], axis=1)
-    m = meta[pair_g]  # [P, 4]
-    local = pair_idx - m[:, 0]
-    tile_x = m[:, 2] + local % m[:, 1]
-    tile_y = m[:, 3] + local // m[:, 1]
+    pos_bits = (max_pairs - 1).bit_length()
+    t_bits = max(1, (n_tiles_side - 1).bit_length())
+    t_mask = (1 << t_bits) - 1
+    if pos_bits + 4 + t_bits <= 31 and max_span <= 16:
+        meta_a = (span1 - 1) | (tx0 << 4)          # 4 + t_bits bits
+        meta_b = ty0                               # t_bits bits
+        # zero-count gaussians own no run — mask them out so scattered
+        # start positions are unique (max would pick the wrong run's meta)
+        starts_idx = jnp.where(counts[1:] > 0, ends[:-1], max_pairs)
+        ca = jnp.zeros((max_pairs,), jnp.int32).at[starts_idx].max(
+            (starts_idx << (4 + t_bits)) | meta_a[1:], mode="drop")
+        ca = ca.at[0].max(jnp.where(counts[0] > 0, meta_a[0], 0))
+        cb = jnp.zeros((max_pairs,), jnp.int32).at[starts_idx].max(
+            (starts_idx << t_bits) | meta_b[1:], mode="drop")
+        cb = cb.at[0].max(jnp.where(counts[0] > 0, meta_b[0], 0))
+        run_a = jax.lax.cummax(ca)
+        run_b = jax.lax.cummax(cb)
+        s = (run_a & 15) + 1
+        local = pair_idx - (run_a >> (4 + t_bits))
+        tile_x = ((run_a >> 4) & t_mask) + local % s
+        tile_y = (run_b & t_mask) + local // s
+    else:  # huge capacity/resolution: per-pair [N,4] meta row-gather
+        offsets = ends - counts
+        meta = jnp.stack([offsets, span1, tx0, ty0], axis=1)
+        m = meta[pair_g]  # [P, 4]
+        local = pair_idx - m[:, 0]
+        tile_x = m[:, 2] + local % m[:, 1]
+        tile_y = m[:, 3] + local // m[:, 1]
     tile_id = jnp.where(pair_live, tile_y * n_tiles_side + tile_x, n_tiles)
 
     # stable sort by tile keeps the depth order within each tile. Sorting is
     # the binning bottleneck (XLA's TPU sort makes O(log²) passes over the
-    # arrays), so when (tile_id, pair index) packs into 31 bits we sort ONE
-    # int32 key instead of carrying a second array through every pass —
-    # pair_idx is already depth-ordered, so packing it into the low bits
-    # preserves stability by construction.
-    idx_bits = (max_pairs - 1).bit_length()
+    # arrays), so when (tile_id, gaussian id) packs into 32 bits we sort ONE
+    # uint32 key instead of carrying a second array through every pass.
+    # The GAUSSIAN id (not the pair index) goes in the low bits: it is
+    # depth-ordered after the argsort above, a (gaussian, tile) pair is
+    # unique, so within-tile depth order is preserved by construction AND
+    # the sorted key directly yields pair_sorted — no post-sort gather.
+    idx_bits = max(1, (N - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
     if (n_tiles + 1) << idx_bits <= 2**32:
-        key = (tile_id.astype(jnp.uint32) << idx_bits) | pair_idx.astype(jnp.uint32)
+        key = (tile_id.astype(jnp.uint32) << idx_bits) | pair_g.astype(jnp.uint32)
         key_sorted = jax.lax.sort(key)
         tile_sorted = (key_sorted >> idx_bits).astype(jnp.int32)
-        pair_sorted = pair_g[(key_sorted & (max_pairs - 1)).astype(jnp.int32)]
+        pair_sorted = (key_sorted & idx_mask).astype(jnp.int32)
     else:
         tile_sorted, pair_sorted = jax.lax.sort(
             (tile_id, pair_g), num_keys=1, is_stable=True
@@ -135,26 +189,38 @@ def _bin_pairs(
     tile_start = starts[:-1].astype(jnp.int32)
     tile_count = (starts[1:] - starts[:-1]).astype(jnp.int32)
 
-    # pair payload [16, P]: mx, my, ica, icb, icc, r, g, b, opacity, pad×7
-    # (attributes in sublanes, pairs in lanes — DMA slices are lane-aligned
-    # 512-pair chunks at the aligned offsets).  Assemble the per-Gaussian
-    # attribute matrix FIRST and do ONE row-gather to pair order — N small
-    # column gathers over 2M pairs are ~4× slower on TPU.
-    attrs = jnp.concatenate([
-        mean2d,                 # 2
-        inv_cov,                # 3
-        color,                  # 3
-        opacity[:, None],       # 1
-        depth[:, None],         # 1 (row 9: view-space depth for the D output)
-        jnp.zeros((N, 6), jnp.float32),  # pad to 16 (sublane-aligned slices)
-    ], axis=1)
+    # pair payload (attributes in sublanes, pairs in lanes — DMA slices are
+    # lane-aligned 512-pair chunks at the aligned offsets).  Assemble the
+    # per-Gaussian attribute matrix FIRST and do ONE row-gather to pair
+    # order — N small column gathers over 2M pairs are ~4× slower on TPU.
+    if packed:
+        # [8, P]: mx, my, ica, icb, icc, r|g, b|op, depth|0
+        attrs = jnp.concatenate([
+            mean2d,                                       # 2
+            inv_cov,                                      # 3
+            _pack2(color[:, 0], color[:, 1])[:, None],    # 1
+            _pack2(color[:, 2], opacity)[:, None],        # 1
+            _pack2(depth, jnp.zeros_like(depth))[:, None],  # 1
+        ], axis=1)
+    else:
+        # [16, P]: mx, my, ica, icb, icc, r, g, b, opacity, depth, pad×6
+        attrs = jnp.concatenate([
+            mean2d,                 # 2
+            inv_cov,                # 3
+            color,                  # 3
+            opacity[:, None],       # 1
+            depth[:, None],         # 1 (row 9: view-space depth for D out)
+            jnp.zeros((N, 6), jnp.float32),  # pad to 16 (sublane-aligned)
+        ], axis=1)
     payload = attrs[pair_sorted].T.astype(jnp.float32)
-    payload = payload * pair_live[None, :]  # dead pairs get zero payload
+    # dead pairs get zero payload. Select, NOT multiply: packed rows are
+    # raw bit patterns — a ×1.0 would flush denormal-looking packs to zero.
+    payload = jnp.where(pair_live[None, :], payload, 0.0)
 
     return payload, tile_start, tile_count, n_tiles_side
 
 
-def _pair_terms(data, px, py, start, count, off):
+def _pair_terms(data, px, py, start, count, off, packed: bool = False):
     """Shared fwd/bwd per-chunk math: α, masks, and the quadratic terms."""
     j = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_CHUNK), 1)
     gidx = off + j
@@ -162,7 +228,7 @@ def _pair_terms(data, px, py, start, count, off):
 
     mx, my = data[0:1, :], data[1:2, :]
     ia, ib, ic = data[2:3, :], data[3:4, :], data[4:5, :]
-    op = data[8:9, :]
+    op = _unpack2(data[6:7, :])[1] if packed else data[8:9, :]
 
     dx = px - mx        # [256, CHUNK]
     dy = py - my
@@ -181,8 +247,8 @@ def _tile_kernel(
     tile_start_ref, tile_count_ref,  # scalar prefetch [T]
     payload_hbm,                      # [16, P] in HBM/ANY
     out_ref,                          # out [1, 4, 256]: rgb rows + alpha row
-    scratch, sem,                     # VMEM [16, CHUNK], DMA sem
-    *, n_tiles_side: int,
+    scratch, sem,                     # VMEM [rows, CHUNK], DMA sem
+    *, n_tiles_side: int, packed: bool = False,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -218,8 +284,9 @@ def _tile_kernel(
         copy.start()
         copy.wait()
 
-        data = scratch[:, :]  # [16, CHUNK]
-        alpha, _, _, _, _, _, _, _ = _pair_terms(data, px, py, start, count, off)
+        data = scratch[:, :]  # [rows, CHUNK]
+        alpha, _, _, _, _, _, _, _ = _pair_terms(
+            data, px, py, start, count, off, packed=packed)
 
         logs = jnp.log1p(-alpha)  # alpha <= 0.99 keeps this finite
         prefix_excl = jax.lax.dot_general(
@@ -230,7 +297,13 @@ def _tile_kernel(
         T_excl = jnp.exp(prefix_excl) * T     # [256, CHUNK]
         w = alpha * T_excl
         # rgb + depth channels in one MXU contraction: [256,C] x [4,C] -> [256,4]
-        rgbd = jnp.concatenate([data[5:8, :], data[9:10, :]], axis=0)
+        if packed:
+            r_, g_ = _unpack2(data[5:6, :])
+            b_, _o = _unpack2(data[6:7, :])
+            d_, _z = _unpack2(data[7:8, :])
+            rgbd = jnp.concatenate([r_, g_, b_, d_], axis=0)
+        else:
+            rgbd = jnp.concatenate([data[5:8, :], data[9:10, :]], axis=0)
         C_rgbd = C_rgbd + jax.lax.dot_general(
             w, rgbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -381,8 +454,12 @@ def _tile_bwd_kernel(
 
 
 def _composite_call(payload, tile_start, tile_count, n_tiles_side):
-    """Raw forward pallas call → out_tiles [T, 4, 256] (C pre-bg, alpha)."""
+    """Raw forward pallas call → out_tiles [T, 5, 256] (C pre-bg, alpha, D).
+
+    The payload's leading dim picks the layout: 8 rows = packed inference
+    payload, 16 rows = differentiable fp32 payload."""
     n_tiles = n_tiles_side * n_tiles_side
+    rows = payload.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -391,18 +468,19 @@ def _composite_call(payload, tile_start, tile_count, n_tiles_side):
             (1, 5, TILE * TILE), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((16, PAIR_CHUNK), jnp.float32),
+            pltpu.VMEM((rows, PAIR_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     capacity = payload.shape[1]
     return pl.pallas_call(
-        functools.partial(_tile_kernel, n_tiles_side=n_tiles_side),
+        functools.partial(
+            _tile_kernel, n_tiles_side=n_tiles_side, packed=(rows == 8)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 5, TILE * TILE), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=capacity * TILE * TILE * 20,
-            bytes_accessed=capacity * 16 * 4,
+            bytes_accessed=capacity * rows * 4,
             transcendentals=capacity * TILE * TILE,
         ),
         interpret=INTERPRET,
@@ -456,6 +534,11 @@ def _composite(payload, tile_start, tile_count, n_tiles_side):
 
 
 def _composite_fwd(payload, tile_start, tile_count, n_tiles_side):
+    if payload.shape[0] != 16:
+        raise ValueError(
+            "differentiating the packed 8-row splat payload is unsupported — "
+            "render with packed=False for training/gradient paths"
+        )
     out = _composite_call(payload, tile_start, tile_count, n_tiles_side)
     return out, (payload, tile_start, tile_count, out)
 
@@ -532,37 +615,58 @@ def rasterize_pallas_batch(
     bg_color: jnp.ndarray,
     max_pairs: int = 1 << 21,
     max_span: int = 16,
+    group_size: int = None,
+    packed: bool = False,
 ):
-    """Batched multi-view rendering: the XLA projection+binning runs as ONE
-    vmapped program over all B·V views (batched sorts/gathers amortize the
-    per-view dispatch overhead), then the Pallas kernel maps sequentially
-    over the prepared views (manual-DMA kernels have no batching rule).
+    """Batched multi-view rendering: the scene-level Gaussian prep
+    (quat→covariance factor) runs once per scene, the XLA projection+
+    binning runs as ONE vmapped program over each group of views (batched
+    sorts/gathers amortize the per-op dispatch overhead), then the Pallas
+    kernel maps sequentially over the prepared views (manual-DMA kernels
+    have no batching rule).
 
-    Returns {"image": [B, V, 3, S, S], "alpha": [B, V, 1, S, S]}.
+    ``group_size`` sets how many views share one vmapped binning program
+    (and bounds the live pair-payload memory to G × rows × capacity
+    floats); the measured sweet spot is the default G=8.
+
+    Returns {"image": [B, V, 3, S, S], "alpha": [B, V, 1, S, S], "depth": ...}.
     """
     B, V = cam_view.shape[:2]
     n_tiles_side = img_size // TILE
-
-    # group views so the vmapped prep amortizes sort/gather dispatch while
-    # bounding the live pair-payload memory to G × 16 × capacity floats
-    G = 8
     total = B * V
+
+    if group_size is None:
+        # measured at the refine shapes (48 views, cap 327680): G=8 is the
+        # sweet spot — 17.2 ms/view vs 28.4 at G=48 (XLA's batched sort
+        # degrades with batch) and 22.7 at G=4 (dispatch overhead) —
+        # scripts/profile_splat_groups.py
+        group_size = 8
+    G = min(group_size, total)
     pad = (-total) % G
-    g_flat = jnp.concatenate(
-        [jnp.broadcast_to(gaussians[:, None], (B, V) + gaussians.shape[1:])
-            .reshape(total, *gaussians.shape[1:])]
-        + ([jnp.zeros((pad,) + gaussians.shape[1:], gaussians.dtype)] if pad else []),
-    )
+
+    # per-scene view-independent prep, then one flat per-view copy
+    prep = jax.vmap(prepare_gaussians)(gaussians)  # dict of [B, ...]
+
+    def bview(a):
+        out = jnp.broadcast_to(a[:, None], (B, V) + a.shape[1:]).reshape(
+            total, *a.shape[1:])
+        if pad:
+            out = jnp.concatenate(
+                [out, jnp.zeros((pad,) + a.shape[1:], out.dtype)])
+        return out
+
+    prep_flat = {k: bview(v) for k, v in prep.items()}
     eye = jnp.broadcast_to(jnp.eye(4), (pad, 4, 4)) if pad else None
     cv_flat = jnp.concatenate(
         [cam_view.reshape(total, 4, 4)] + ([eye] if pad else []))
     cvp_flat = jnp.concatenate(
         [cam_view_proj.reshape(total, 4, 4)] + ([eye] if pad else []))
 
-    def prep_one(g, cv, cvp):
-        proj = project_gaussians(g, cv, cvp, img_size, tan_half_fov)
+    def prep_one(pr, cv, cvp):
+        proj = project_prepared(pr, cv, cvp, img_size, tan_half_fov)
         p, ts, tc, _ = _bin_pairs(
-            *proj, img_size=img_size, max_pairs=max_pairs, max_span=max_span
+            *proj, img_size=img_size, max_pairs=max_pairs, max_span=max_span,
+            packed=packed,
         )
         return p, ts, tc
 
@@ -573,15 +677,15 @@ def rasterize_pallas_batch(
         return jnp.clip(img, 0.0, 1.0).transpose(2, 0, 1), alpha[None], depth[None]
 
     def group(args):
-        g, cv, cvp = args
-        payloads, starts, counts = jax.vmap(prep_one)(g, cv, cvp)
+        pr, cv, cvp = args
+        payloads, starts, counts = jax.vmap(prep_one)(pr, cv, cvp)
         return jax.lax.map(one_view, (payloads, starts, counts))
 
     n_groups = (total + pad) // G
     imgs, alphas, depths = jax.lax.map(
         group,
         (
-            g_flat.reshape(n_groups, G, *gaussians.shape[1:]),
+            {k: v.reshape(n_groups, G, *v.shape[1:]) for k, v in prep_flat.items()},
             cv_flat.reshape(n_groups, G, 4, 4),
             cvp_flat.reshape(n_groups, G, 4, 4),
         ),
