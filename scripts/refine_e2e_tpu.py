@@ -21,6 +21,7 @@ print(f"refined sample compile+run {time.time()-t0:.0f}s frames {out['frames'].s
 t0 = time.time()
 out = pipe.generate("a blue teapot", steps=50, use_gs_refine=True, seed=12)
 print(f"refined sample steady {time.time()-t0:.1f}s finite={np.isfinite(out['frames']).all()}", flush=True)
-t0 = time.time()
 out2 = pipe.generate("a blue teapot", steps=50, use_gs_refine=False, seed=12)
+t0 = time.time()
+out2 = pipe.generate("a blue teapot", steps=50, use_gs_refine=False, seed=13)
 print(f"plain sample steady {time.time()-t0:.1f}s", flush=True)

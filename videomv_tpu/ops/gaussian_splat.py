@@ -316,7 +316,8 @@ def render_gaussians(
             # the deepest pairs gracefully (back of scene), like the CUDA
             # rasterizer's bounded buffers.
             cap = (1 << 21) if img_size >= 512 else (1 << 20)
-            need = max(16384, -(-5 * int(gaussians.shape[1]) // 4096) * 4096)
+            n = int(gaussians.shape[1])
+            need = max(16384, -(-9 * n // 2 // 4096) * 4096)  # 4.5 pairs/g
             max_pairs = min(cap, need)
         return rasterize_pallas_batch(
             gaussians, cam_view, cam_view_proj, img_size, tan_half_fov,
