@@ -227,3 +227,40 @@ def test_ddpm_and_plms_run(diff_eps):
     model_small = _perfect_eps_model(small, x0)
     out2 = ddpm_sample_loop(small, model_small, noise, rng=rng)
     assert np.all(np.isfinite(np.asarray(out2)))
+
+
+def test_refine_loop_segments_match_plain(diff_eps):
+    """The segmented refine loop must equal the plain scan when refine_fn
+    merely converts the model's eps pair to x0 (the DDIM update is affine
+    in eps, so combine-then-convert == convert-then-combine).  Exercises
+    the static scan-segment split + inline refine steps + rng threading."""
+    rng = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(rng, (1, 4, 2, 4, 4)) * 0.3
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+
+    def model(xt, t):
+        eps = diff_eps.x0_to_eps(x0, xt, jnp.asarray(t, jnp.int32))
+        return eps + 0.05 * xt, eps - 0.05 * xt  # distinct cond/uncond
+
+    def refine(xt, t):
+        t32 = jnp.asarray(t, jnp.int32)
+        c, u = model(xt, t)
+        return diff_eps.pred_to_x0(c, xt, t32), diff_eps.pred_to_x0(u, xt, t32)
+
+    key = jax.random.PRNGKey(11)
+    plain = ddim_sample_loop(
+        diff_eps, model, noise, ddim_timesteps=10, guide_scale=4.0, rng=key)
+    refined = ddim_sample_loop(
+        diff_eps, model, noise, ddim_timesteps=10, guide_scale=4.0,
+        refine_fn=refine, refine_steps=(2, 5, 8), rng=key)
+    np.testing.assert_allclose(
+        np.asarray(refined), np.asarray(plain), rtol=2e-5, atol=2e-5)
+
+    # and a refine_fn that actually CHANGES x0 must change the output
+    def refine_const(xt, t):
+        return jnp.ones_like(xt) * 0.1, jnp.ones_like(xt) * 0.1
+
+    diverged = ddim_sample_loop(
+        diff_eps, model, noise, ddim_timesteps=10, guide_scale=4.0,
+        refine_fn=refine_const, refine_steps=(2, 5, 8), rng=key)
+    assert float(jnp.abs(diverged - plain).max()) > 1e-3
