@@ -112,13 +112,19 @@ class T2VPipeline:
         )
         self.vae = AutoencoderKL(dtype=self.dtype)
         self.clip = OpenCLIPTextVisual(dtype=self.dtype)
-        self.lgm = LGM(opt=LGMOptions.big(), dtype=self.dtype) if self.use_lgm_refine else None
+        lgm_variant = str(cfg.get("lgm_variant", "big"))
+        self.lgm = (
+            LGM(opt=getattr(LGMOptions, lgm_variant)(), dtype=self.dtype)
+            if self.use_lgm_refine else None
+        )
         # reference renders the refine views at 512² then nearest-downsamples
         # to 256 before re-encoding (unet_t2v.py:426-428); gs_render_size=256
         # renders directly at the target resolution — visually equivalent and
         # ~4× cheaper through the splat pipeline
         self.gs_settings = GSCameraSettings(
-            output_size=int(cfg.get("gs_render_size", 256))
+            input_size=int(cfg.get("gs_input_size",
+                                   self.lgm.opt.input_size if self.lgm else 256)),
+            output_size=int(cfg.get("gs_render_size", 256)),
         )
 
         self._params: Dict[str, Any] = {}
@@ -363,3 +369,70 @@ class T2VPipeline:
         frames = self._decode_latents(latents)
         frames_np = np.asarray(jnp.round(frames[0] * 255)).astype(np.uint8)
         return {"frames": frames_np, "latents": np.asarray(latents)}
+
+    # ------------------------------------------------------- 3D export
+
+    def reconstruct_gaussians(
+        self,
+        frames: np.ndarray,
+        elevation: float = 15.0,
+        camera_distance: float = 2.0,
+    ) -> np.ndarray:
+        """Run the LGM on the 4 canonical views of a generated orbit and
+        return the Gaussian-splat scene [N, 14] (pos|opacity|scale|quat|rgb,
+        activated — the ``render_gaussians``/``save_ply`` contract).
+
+        ``frames``: ``generate()['frames']`` (F×H×W×3, uint8 or [0,1]
+        float). Exceeds the reference inference surface (which constructs
+        the same Gaussians transiently inside the refine branch and never
+        exposes them) using only reference components: LGM 'big' +
+        ``core/gs.py``-style PLY compaction via ``ops.ply_io.save_ply``."""
+        from .refine import _VID_MEAN, _VID_STD
+
+        assert self.lgm is not None, "config must set UNet.use_lgm_refine"
+        f = np.asarray(frames, np.float32)
+        if f.max() > 1.5:
+            f = f / 255.0
+        # 4 evenly spaced orbit views — (0, 6, 12, 18) at the reference's
+        # 24 frames (unet_t2v.py:407), generalized to any frame count
+        idxs = [i * f.shape[0] // 4 for i in range(4)]
+        views = f[idxs].transpose(0, 3, 1, 2)  # [4,3,H,W]
+        s = self.gs_settings.input_size
+        if views.shape[-1] != s:
+            views = np.asarray(jax.image.resize(
+                jnp.asarray(views), (4, 3, s, s), method="bilinear"))
+        views = (views - _VID_MEAN.reshape(1, 3, 1, 1)) / _VID_STD.reshape(1, 3, 1, 1)
+
+        cam_key = (self.max_frames, float(elevation), float(camera_distance),
+                   bool(self.cfg.get("reference_inference_cameras", False)))
+        if cam_key not in self._camera_cache:
+            # populate via the same path generate() uses
+            from ..data.cameras import prepare_gs_training, orbit_c2w_opengl
+            gs = prepare_gs_training(
+                orbit_c2w_opengl(self.max_frames, elevation, camera_distance),
+                self.gs_settings, ray_size=self.gs_settings.input_size,
+            )
+            self._camera_cache[cam_key] = (
+                jnp.asarray(orbit_camera_for_t2v(self.max_frames, elevation, camera_distance)),
+                jnp.asarray(gs["input_rays"]),
+                jnp.asarray(gs["cam_view"]),
+                jnp.asarray(gs["cam_view_proj"]),
+            )
+        _, gs_rays, _, _ = self._camera_cache[cam_key]
+        rays = jnp.take(gs_rays, jnp.asarray(idxs), axis=1)[0]
+
+        lgm_in = jnp.concatenate(
+            [jnp.asarray(views), rays.astype(jnp.float32)], axis=1
+        )[None]  # [1, 4, 9, S, S]
+        if not hasattr(self, "_lgm_fn") or self._lgm_fn is None:
+            self._lgm_fn = jax.jit(self.lgm.apply)
+        gaussians = self._lgm_fn(self._params["lgm"], lgm_in)
+        return np.asarray(gaussians[0])
+
+    def export_ply(self, frames: np.ndarray, path: str, **kw) -> np.ndarray:
+        """``reconstruct_gaussians`` + reference-compatible ``.ply`` dump."""
+        from ..ops.ply_io import save_ply
+
+        gaussians = self.reconstruct_gaussians(frames, **kw)
+        save_ply(gaussians, path)
+        return gaussians
