@@ -97,6 +97,10 @@ def main():
                 path = os.path.join(log_dir, f"{idx:04d}_{cap_name}_{seed}_gs.mp4")
                 save_multiview_video(path, out_gs["frames"], caption=name)
                 logging.info("saved %s (%.1fs)", path, time.time() - t0)
+                if bool(cfg.get("save_ply", False)) and not is_i2v:
+                    ply = os.path.join(log_dir, f"{idx:04d}_{cap_name}_{seed}.ply")
+                    pipe.export_ply(out_gs["frames"], ply)
+                    logging.info("saved %s", ply)
 
     logging.info("inference complete")
 
