@@ -185,3 +185,83 @@ def test_cfg_dropout_substitutes_negative_embedding():
     np.testing.assert_allclose(dropped, explicit, rtol=1e-6)
     assert abs(dropped - zeros_fallback) > 1e-6
     assert abs(dropped - kept) > 1e-6
+
+
+def test_fsdp_sharded_train_step_matches_replicated():
+    """ZeRO-style fully-sharded state (fsdp_shardings) must (a) actually
+    shard the large param leaves over the dp axis, and (b) produce the
+    same loss and updated params as the replicated step."""
+    from videomv_tpu.parallel import fsdp_shardings
+
+    mesh = make_mesh(8)
+    model = UNetSD_T2VBase(
+        in_dim=4, dim=32, y_dim=16, context_dim=16, out_dim=4, dim_mult=(1,),
+        num_heads=1, head_dim=32, num_res_blocks=1, attn_scales=(1.0,),
+        dropout=0.0, use_camera_condition=False, temporal_attention=False,
+    )
+    diffusion = GaussianDiffusion(
+        schedule="linear_sd",
+        schedule_param=dict(num_timesteps=100, init_beta=0.00085, last_beta=0.0120),
+        mean_type="eps", var_type="fixed_small",
+    )
+    b, f, hw = 8, 2, 8
+    latents = jax.random.normal(jax.random.PRNGKey(0), (b, 4, f, hw, hw))
+    y = jax.random.normal(jax.random.PRNGKey(1), (b, 3, 16))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(2), latents, jnp.zeros((b,), jnp.int32), y=y
+    )
+    opt = optax.adamw(1e-3)
+    opt_state = jax.jit(opt.init)(params)
+    batch = {"latents": latents, "y_words": y}
+    rng = jax.random.PRNGKey(3)
+
+    def make_state(place):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=place(params), opt_state=place(opt_state), ema_params=None,
+        )
+
+    # fsdp placement FIRST (the steps donate+delete their input buffers):
+    # threshold low so even tiny test params get sharded
+    p_sh = fsdp_shardings(params, mesh, min_size=1024)
+    o_sh = fsdp_shardings(opt_state, mesh, min_size=1024)
+    state_sh = TrainState(
+        step=jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        params=p_sh, opt_state=o_sh, ema_params=None,
+    )
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+    place_fsdp = lambda tree, sh: jax.tree_util.tree_map(jax.device_put, tree, sh)
+    fsdp_state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=place_fsdp(copy(params), p_sh),
+        opt_state=place_fsdp(copy(opt_state), o_sh),
+        ema_params=None,
+    )
+
+    # replicated control
+    step_repl = build_train_step(model, diffusion, opt, mesh,
+                                 use_ema=False, p_zero=0.0)
+    s1, loss1 = step_repl(make_state(lambda t: replicate(mesh, copy(t))),
+                          shard_batch(mesh, batch), rng)
+    # at least one leaf must actually be split over dp
+    sharded_leaves = [
+        s for s in jax.tree_util.tree_leaves(
+            p_sh, is_leaf=lambda x: isinstance(x, jax.sharding.NamedSharding))
+        if "dp" in str(s.spec)
+    ]
+    assert sharded_leaves, "no param leaf got sharded"
+
+    step_fsdp = build_train_step(model, diffusion, opt, mesh, use_ema=False,
+                                 p_zero=0.0, state_shardings=state_sh)
+    s2, loss2 = step_fsdp(fsdp_state, shard_batch(mesh, batch), rng)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=2e-5)
+    # updated params identical (up to fp assoc in the collectives)
+    for a, bb in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=5e-5, atol=5e-6)
+    # and the new state keeps the sharded placement
+    some = [x for x in jax.tree_util.tree_leaves(s2.params)
+            if "dp" in str(x.sharding.spec)]
+    assert some, "output params lost the fsdp sharding"

@@ -1,4 +1,6 @@
-from .mesh import init_distributed, make_mesh, shard_batch, replicate
+from .mesh import (
+    fsdp_shardings, init_distributed, make_mesh, replicate, shard_batch,
+)
 from .train_step import (
     TrainState,
     build_train_step,
@@ -11,6 +13,7 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "replicate",
+    "fsdp_shardings",
     "build_train_step",
     "make_t2v_apply",
     "make_i2v_apply",

@@ -20,7 +20,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["init_distributed", "make_mesh", "shard_batch", "replicate"]
+__all__ = [
+    "init_distributed", "make_mesh", "shard_batch", "replicate",
+    "fsdp_shardings",
+]
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -81,3 +84,40 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def fsdp_shardings(tree, mesh: Mesh, axis: str = "dp", min_size: int = 1 << 16):
+    """Fully-sharded-data-parallel placement for a param/opt-state pytree:
+    each leaf is sharded along its LARGEST dimension divisible by the mesh
+    axis size; small or indivisible leaves stay replicated.
+
+    This is the GSPMD recipe for fitting optimizer state that replication
+    can't (1.4B fp32 params + AdamW moments ≫ one v5e's 16 GB): annotate
+    the placement, let XLA insert the all-gathers before each layer's use
+    and reduce-scatter the grads — no hand-written collectives
+    (scaling-book §sharding; replaces torch FSDP/ZeRO wrappers).
+
+    Returns a pytree of ``NamedSharding`` matching ``tree`` (None leaves
+    pass through), usable as jit in/out_shardings or ``device_put`` specs.
+    """
+    n = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    def spec_for(x):
+        if x is None:
+            return None
+        shape = getattr(x, "shape", ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return repl
+        # largest divisible dim wins; ties → earliest
+        best, best_dim = -1, None
+        for i, d in enumerate(shape):
+            if d % n == 0 and d > best:
+                best, best_dim = d, i
+        if best_dim is None:
+            return repl
+        parts = [None] * len(shape)
+        parts[best_dim] = axis
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree_util.tree_map(spec_for, tree)

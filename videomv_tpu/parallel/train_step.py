@@ -67,6 +67,7 @@ def build_train_step(
     use_ema: bool = True,
     p_zero: float = 0.1,
     zero_y=None,
+    state_shardings=None,
 ):
     """Create the jitted DP train step.
 
@@ -79,6 +80,12 @@ def build_train_step(
     the reference substitutes it (``zero_y_negative``) for dropped rows
     (train_t2v_enterance.py:173-175,274), matching the uncond row that CFG
     inference uses. ``None`` falls back to literal zeros.
+
+    ``state_shardings``: optional ``TrainState``-shaped pytree of
+    ``NamedSharding`` (see ``mesh.fsdp_shardings``). When given, the state
+    lives sharded over the mesh (ZeRO-style fully-sharded data parallel —
+    GSPMD inserts the per-layer all-gathers and grad reduce-scatters);
+    when ``None``, params/opt-state are replicated as before.
     """
     if callable(unet_or_apply) and not hasattr(unet_or_apply, "apply"):
         apply_fn = unet_or_apply
@@ -107,10 +114,12 @@ def build_train_step(
         loss_vec, aux = diffusion.loss(n_rng, model_fn, latents, t)
         return loss_vec.mean(), aux
 
+    state_sh = repl if state_shardings is None else state_shardings
+
     @functools.partial(
         jax.jit,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
     def train_step(state: TrainState, batch, rng):

@@ -46,6 +46,7 @@ from ..parallel import (
     TrainState, build_train_step, make_i2v_apply, make_mesh, make_t2v_apply,
     replicate, shard_batch,
 )
+from jax.sharding import NamedSharding, PartitionSpec as P
 from ..inference.pipeline import unet_kwargs_from_cfg
 from .optim import build_optimizer
 
@@ -165,12 +166,35 @@ class T2VTrainer:
         ema0 = (
             jax.tree_util.tree_map(lambda x: x + 0.0, unet_params) if use_ema else None
         )
-        self.state = TrainState(
-            step=jnp.asarray(self.resume_step, jnp.int32),
-            params=replicate(self.mesh, unet_params),
-            opt_state=replicate(self.mesh, opt_state),
-            ema_params=replicate(self.mesh, ema0) if use_ema else None,
-        )
+        # param placement: replicated (default) or ZeRO-style fully-sharded
+        # over the dp axis (cfg param_sharding: fsdp) — lets AdamW + fp32
+        # master params fit where per-chip HBM can't hold the whole state
+        state_shardings = None
+        if str(cfg.get("param_sharding", "replicated")) == "fsdp":
+            from ..parallel import fsdp_shardings
+
+            place = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+                jax.device_put, tree, fsdp_shardings(tree, self.mesh))
+            self.state = TrainState(
+                step=jnp.asarray(self.resume_step, jnp.int32),
+                params=place(unet_params),
+                opt_state=place(opt_state),
+                ema_params=place(ema0) if use_ema else None,
+            )
+            repl_sh = NamedSharding(self.mesh, P())
+            state_shardings = TrainState(
+                step=repl_sh,
+                params=fsdp_shardings(unet_params, self.mesh),
+                opt_state=fsdp_shardings(opt_state, self.mesh),
+                ema_params=fsdp_shardings(ema0, self.mesh) if use_ema else None,
+            )
+        else:
+            self.state = TrainState(
+                step=jnp.asarray(self.resume_step, jnp.int32),
+                params=replicate(self.mesh, unet_params),
+                opt_state=replicate(self.mesh, opt_state),
+                ema_params=replicate(self.mesh, ema0) if use_ema else None,
+            )
         apply_fn = make_i2v_apply(self.unet) if self.is_i2v else make_t2v_apply(self.unet)
         # dropped-row substitute = CLIP embedding of the negative prompt
         # (reference zero_y_negative, train_t2v_enterance.py:174,274)
@@ -185,6 +209,7 @@ class T2VTrainer:
             use_ema=use_ema,
             p_zero=float(cfg.get("p_zero", 0.1)),
             zero_y=zero_y,
+            state_shardings=state_shardings,
         )
         return self
 
