@@ -188,6 +188,7 @@ class T2VTrainer:
                 opt_state=fsdp_shardings(opt_state, self.mesh),
                 ema_params=fsdp_shardings(ema0, self.mesh) if use_ema else None,
             )
+            self._state_shardings = state_shardings
         else:
             self.state = TrainState(
                 step=jnp.asarray(self.resume_step, jnp.int32),
@@ -688,6 +689,22 @@ class T2VTrainer:
             "step": 0,
         }
         restored = ckptr.restore(os.path.abspath(path), target)
+        # restore onto the training placement: replicated by default, or the
+        # fsdp sharding tree — replicating a ZeRO-sharded state would need
+        # the full optimizer state per chip, the exact thing fsdp avoids
+        sh = getattr(self, "_state_shardings", None)
+        if sh is not None:
+            put = lambda tree, shard: jax.tree_util.tree_map(  # noqa: E731
+                jax.device_put, tree, shard)
+            self.state = TrainState(
+                step=jnp.asarray(restored["step"], jnp.int32),
+                params=put(restored["params"], sh.params),
+                opt_state=put(restored["opt_state"], sh.opt_state),
+                ema_params=put(restored["ema_params"], sh.ema_params)
+                if self.state.ema_params is not None
+                else None,
+            )
+            return self
         self.state = TrainState(
             step=jnp.asarray(restored["step"], jnp.int32),
             params=replicate(self.mesh, restored["params"]),
