@@ -49,6 +49,6 @@ def run(mp, gsize, packed=False):
 
 
 import sys
-cfgs = ((327680, 8, True), (327680, 8, False))
+cfgs = ((262144, 8, True), (327680, 8, True))
 for mp, gsize, packed in cfgs:
     run(mp, gsize, packed)

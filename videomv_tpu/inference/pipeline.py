@@ -229,14 +229,51 @@ class T2VPipeline:
             )
         return self._encode_text_fn(self._params["clip"], toks)
 
-    def _build_sampler(self, steps: int, guide_scale: float, with_refine: bool):
-        """Compile the full sampling program once per (steps, guidance, refine).
+    def _get_cameras(self, elevation: float, camera_distance: float):
+        """Orbit camera conditioning + splat cameras/rays, cached per orbit
+        on the host math AND the device arrays (the Plücker rays alone are
+        37 MB; re-doing the numpy + tunnel upload per call cost ~1.4 s of
+        every sample). Returns (cam [1,F,16], rays, cam_view, cam_view_proj).
+        """
+        cam_key = (self.max_frames, float(elevation), float(camera_distance),
+                   bool(self.cfg.get("reference_inference_cameras", False)))
+        cached = self._camera_cache.get(cam_key)
+        if cached is None:
+            cam = jnp.asarray(
+                orbit_camera_for_t2v(self.max_frames, elevation, camera_distance)
+            )
+            # gs cameras use the TRAINING-consistent chain (the LGM
+            # checkpoints' native convention);
+            # cfg['reference_inference_cameras'] reproduces the reference
+            # inference engine's mirrored variant bit-for-bit.
+            if cam_key[3]:
+                gs = prepare_gs_cameras(
+                    np.asarray(cam), self.gs_settings,
+                    ray_size=self.gs_settings.input_size,
+                )
+            else:
+                gs = prepare_gs_training(
+                    orbit_c2w_opengl(self.max_frames, elevation, camera_distance),
+                    self.gs_settings, ray_size=self.gs_settings.input_size,
+                )
+            cached = (
+                cam,
+                jnp.asarray(gs["input_rays"]),
+                jnp.asarray(gs["cam_view"]),
+                jnp.asarray(gs["cam_view_proj"]),
+            )
+            self._camera_cache[cam_key] = cached
+        return cached
+
+    def _build_sampler(self, steps: int, guide_scale: float, with_refine: bool,
+                       b: int = 1):
+        """Compile the full sampling program once per (steps, guidance,
+        refine, batch).
 
         Model params are explicit jit arguments — closing over them would
         bake gigabytes of weights into the program as constants and multiply
         compile time."""
         unet, vae, lgm = self.unet, self.vae, self.lgm
-        b = 1
         f = self.max_frames
         sf = self.scale_factor
         diffusion = self.diffusion
@@ -320,45 +357,14 @@ class T2VPipeline:
                 negative_words = self.encode_text([neg])
                 self._negative_cache[neg] = negative_words
 
-        # camera/ray prep is deterministic per orbit — cache the host math
-        # AND the device arrays (the Plücker rays alone are 37 MB; re-doing
-        # the numpy + tunnel upload per call cost ~1.4 s of the sample)
-        cam_key = (self.max_frames, float(elevation), float(camera_distance),
-                   bool(self.cfg.get("reference_inference_cameras", False)))
-        cached = self._camera_cache.get(cam_key)
-        if cached is None:
-            cam = jnp.asarray(
-                orbit_camera_for_t2v(self.max_frames, elevation, camera_distance)
-            )
-            # gs cameras use the TRAINING-consistent chain (the LGM
-            # checkpoints' native convention);
-            # cfg['reference_inference_cameras'] reproduces the reference
-            # inference engine's mirrored variant bit-for-bit.
-            if cam_key[3]:
-                gs = prepare_gs_cameras(
-                    np.asarray(cam), self.gs_settings,
-                    ray_size=self.gs_settings.input_size,
-                )
-            else:
-                gs = prepare_gs_training(
-                    orbit_c2w_opengl(self.max_frames, elevation, camera_distance),
-                    self.gs_settings, ray_size=self.gs_settings.input_size,
-                )
-            cached = (
-                cam,
-                jnp.asarray(gs["input_rays"]),
-                jnp.asarray(gs["cam_view"]),
-                jnp.asarray(gs["cam_view_proj"]),
-            )
-            self._camera_cache[cam_key] = cached
-        cam, gs_rays, gs_cv, gs_cvp = cached
+        cam, gs_rays, gs_cv, gs_cvp = self._get_cameras(elevation, camera_distance)
 
         rng = jax.random.PRNGKey(seed)
         noise_rng, sample_rng = jax.random.split(rng)
         h, w = self.latent_hw
         noise = jax.random.normal(noise_rng, (1, 4, self.max_frames, h, w))
 
-        key = (steps, guide_scale, use_gs_refine)
+        key = (steps, guide_scale, use_gs_refine, 1)
         if key not in self._samplers:
             self._samplers[key] = self._build_sampler(steps, guide_scale, use_gs_refine)
 
@@ -368,6 +374,68 @@ class T2VPipeline:
         )
         frames = self._decode_latents(latents)
         frames_np = np.asarray(jnp.round(frames[0] * 255)).astype(np.uint8)
+        return {"frames": frames_np, "latents": np.asarray(latents)}
+
+    def generate_batch(
+        self,
+        prompts,
+        steps: int = 50,
+        guide_scale: Optional[float] = None,
+        use_gs_refine: bool = False,
+        seed: Optional[int] = None,
+        elevation: float = 15.0,
+        camera_distance: float = 2.0,
+        data_parallel: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Batched multi-prompt sampling: one compiled program over B
+        prompts (the CFG forward runs 2B×F frame-rows — better MXU
+        utilization than B sequential samples). With ``data_parallel`` and
+        a multi-device runtime, the batch shards over a dp mesh and GSPMD
+        runs each prompt's denoising on its own chip — the serving-scale
+        path (no reference counterpart; the reference loops prompts on one
+        GPU). Returns frames uint8 [B, F, H, W, 3]."""
+        from ..parallel import make_mesh, shard_batch
+
+        cfg = self.cfg
+        guide_scale = guide_scale if guide_scale is not None else float(
+            cfg.get("guide_scale", 9.0))
+        seed = seed if seed is not None else int(cfg.get("seed", 0))
+        b = len(prompts)
+        prompts = [p if "3d asset" in p else p + ", 3d asset" for p in prompts]
+
+        y_words = self.encode_text(list(prompts))
+        neg = cfg.get("negative_prompt", "")
+        zero1 = self._negative_cache.get(neg)
+        if zero1 is None:
+            zero1 = self.encode_text([neg])
+            self._negative_cache[neg] = zero1
+        zero_y = jnp.broadcast_to(zero1, (b,) + zero1.shape[1:])
+
+        cam1, gs_rays, gs_cv, gs_cvp = self._get_cameras(elevation, camera_distance)
+        cam = jnp.broadcast_to(cam1, (b,) + cam1.shape[1:])
+
+        h, w = self.latent_hw
+        rng = jax.random.PRNGKey(seed)
+        noise_rng, sample_rng = jax.random.split(rng)
+        noise = jax.random.normal(noise_rng, (b, 4, self.max_frames, h, w))
+
+        if data_parallel and jax.device_count() > 1 and b % jax.device_count() == 0:
+            mesh = make_mesh()
+            sharded = shard_batch(mesh, {"noise": noise, "y": y_words,
+                                         "zero_y": zero_y, "cam": cam})
+            noise, y_words = sharded["noise"], sharded["y"]
+            zero_y, cam = sharded["zero_y"], sharded["cam"]
+
+        key = (steps, guide_scale, use_gs_refine, b)
+        if key not in self._samplers:
+            self._samplers[key] = self._build_sampler(
+                steps, guide_scale, use_gs_refine, b=b)
+        latents = self._samplers[key](
+            self._params, noise, y_words, zero_y, cam,
+            gs_rays, gs_cv, gs_cvp, sample_rng,
+        )
+        frames = self._decode_latents(latents)
+        frames_np = np.asarray(jnp.round(frames * 255)).astype(np.uint8)
         return {"frames": frames_np, "latents": np.asarray(latents)}
 
     # ------------------------------------------------------- 3D export
@@ -403,22 +471,7 @@ class T2VPipeline:
                 jnp.asarray(views), (4, 3, s, s), method="bilinear"))
         views = (views - _VID_MEAN.reshape(1, 3, 1, 1)) / _VID_STD.reshape(1, 3, 1, 1)
 
-        cam_key = (self.max_frames, float(elevation), float(camera_distance),
-                   bool(self.cfg.get("reference_inference_cameras", False)))
-        if cam_key not in self._camera_cache:
-            # populate via the same path generate() uses
-            from ..data.cameras import prepare_gs_training, orbit_c2w_opengl
-            gs = prepare_gs_training(
-                orbit_c2w_opengl(self.max_frames, elevation, camera_distance),
-                self.gs_settings, ray_size=self.gs_settings.input_size,
-            )
-            self._camera_cache[cam_key] = (
-                jnp.asarray(orbit_camera_for_t2v(self.max_frames, elevation, camera_distance)),
-                jnp.asarray(gs["input_rays"]),
-                jnp.asarray(gs["cam_view"]),
-                jnp.asarray(gs["cam_view_proj"]),
-            )
-        _, gs_rays, _, _ = self._camera_cache[cam_key]
+        _, gs_rays, _, _ = self._get_cameras(elevation, camera_distance)
         rays = jnp.take(gs_rays, jnp.asarray(idxs), axis=1)[0]
 
         lgm_in = jnp.concatenate(
