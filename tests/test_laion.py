@@ -69,3 +69,79 @@ def test_interleave_schedule():
         (k for k, _ in interleave_image_video(img, vid, image_every=4)), range(8)
     )]
     assert kinds == ["video", "video", "video", "image"] * 2
+
+
+@pytest.fixture(scope="module")
+def shard_dir(shard):
+    """Directory holding 3 shards named 00000..00002.tar."""
+    import shutil
+
+    d = os.path.dirname(shard)
+    for i in (1, 2):
+        shutil.copy(shard, os.path.join(d, f"{i:05d}.tar"))
+    return d
+
+
+def test_expand_shard_spec(shard_dir):
+    from videomv_tpu.data.laion import expand_shard_spec
+
+    d = shard_dir
+    # numeric brace range, zero-padding preserved
+    got = expand_shard_spec(os.path.join(d, "{00000..00002}.tar"))
+    assert got == [os.path.join(d, f"{i:05d}.tar") for i in range(3)]
+    # ranges wider than what exists keep only existing files
+    assert len(expand_shard_spec(os.path.join(d, "{00000..01000}.tar"))) == 3
+    # plain glob and literal paths still work
+    assert len(expand_shard_spec(os.path.join(d, "*.tar"))) == 3
+    assert expand_shard_spec(os.path.join(d, "00001.tar")) == [
+        os.path.join(d, "00001.tar")
+    ]
+    assert expand_shard_spec(os.path.join(d, "nope.tar")) == []
+
+
+def test_make_image_dataset_brace_spec(shard_dir):
+    """The shipped t2v_train_laion.yaml spec shape ({00000..01000}.tar) must
+    resolve through the engine; the old char-class glob rewrite never could."""
+    from videomv_tpu.config import load_config
+    from videomv_tpu.training.engine import T2VTrainer
+
+    cfg = load_config("configs/t2v_train_tiny.yaml", opts=[])
+    cfg["img_dataset"] = {
+        "type": "LAIONImageDataset",
+        "shards": [os.path.join(shard_dir, "{00000..01000}.tar")],
+        "resolution": [64, 64],
+    }
+    ds = T2VTrainer(cfg).make_image_dataset()
+    assert ds is not None and len(ds.shards) == 3
+
+
+def test_joint_train_smoke(shard_dir):
+    """Joint LAION+video training end-to-end: both the f=1 image stream and
+    the f=4 video stream must actually feed train steps (reference
+    heterogeneous frame_lens, train_t2v_enterance.py:99-103)."""
+    from videomv_tpu.config import load_config
+    from videomv_tpu.training.engine import T2VTrainer
+
+    cfg = load_config("configs/t2v_train_tiny.yaml", opts=[])
+    cfg["img_dataset"] = {
+        "type": "LAIONImageDataset",
+        "shards": [os.path.join(shard_dir, "{00000..00002}.tar")],
+        "resolution": [64, 64],
+    }
+    cfg["image_every"] = 2
+    cfg["batch_sizes"] = {"4": 2, "1": 2}
+    cfg["use_ema"] = False
+    cfg["dp_devices"] = 2  # batch of 2 must divide the data mesh
+    tr = T2VTrainer(cfg).init()
+
+    seen_frames = []
+    orig = tr.encode_batch
+
+    def spy(batch):
+        seen_frames.append(batch["video"].shape[1])
+        return orig(batch)
+
+    tr.encode_batch = spy
+    loss = tr.train(num_steps=4)
+    assert np.isfinite(loss)
+    assert seen_frames == [4, 1, 4, 1], seen_frames

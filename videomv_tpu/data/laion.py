@@ -15,10 +15,13 @@ SURVEY.md §2 #22); this implementation is wired in and tested.
 
 from __future__ import annotations
 
+import glob as globlib
 import io
 import json
 import logging
+import os
 import random
+import re
 import tarfile
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -26,6 +29,31 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+_BRACE_RANGE = re.compile(r"\{(\d+)\.\.(\d+)\}")
+
+
+def expand_shard_spec(spec: str) -> List[str]:
+    """Resolve a webdataset-style shard spec to concrete file paths.
+
+    Supports bash/webdataset numeric brace ranges (``{00000..01000}``,
+    zero-padding preserved, multiple groups allowed), plain glob patterns,
+    and literal paths — the spec syntax the reference's webdataset loader
+    accepts (/root/reference/tools/datasets/laion_dataset.py:216-242).
+    Brace ranges expand numerically first; each expansion is kept if the
+    file exists (or globbed if it still contains wildcards).
+    """
+    m = _BRACE_RANGE.search(spec)
+    if m:
+        lo, hi = m.group(1), m.group(2)
+        width = len(lo)
+        out: List[str] = []
+        for i in range(int(lo), int(hi) + 1):
+            out.extend(expand_shard_spec(spec[: m.start()] + f"{i:0{width}d}" + spec[m.end():]))
+        return out
+    if globlib.has_magic(spec):
+        return sorted(globlib.glob(spec))
+    return [spec] if os.path.exists(spec) else []
 
 
 @dataclass

@@ -353,21 +353,19 @@ class T2VTrainer:
         """Optional LAION image stream for joint training
         (configs/t2v_train_laion.yaml; reference heterogeneous frame_lens
         recast as alternating shape-uniform steps)."""
-        import glob as globlib
-
         cfg = self.cfg
         idc = cfg.get("img_dataset", {})
         if idc.get("type") != "LAIONImageDataset":
             return None
-        from ..data.laion import LaionImageDataset
+        from ..data.laion import LaionImageDataset, expand_shard_spec
 
         shard_specs = idc.get("shards", [])
         shards = []
         for spec in shard_specs:
-            # brace-expansion specs pass through glob after a simple rewrite
-            shards.extend(sorted(globlib.glob(
-                spec.replace("{", "[").replace("..", "-").replace("}", "]")
-            )) or ([spec] if os.path.exists(spec) else []))
+            found = expand_shard_spec(spec)
+            if not found:
+                logger.warning("img_dataset shard spec %r matched no files", spec)
+            shards.extend(found)
         if not shards:
             return None
         # image steps run at f=1 (a separate jit specialization of the same
