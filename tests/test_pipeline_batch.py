@@ -44,3 +44,34 @@ def test_generate_batch_matches_single(tiny_pipe):
     # and the program must produce the full [2, ...] batch
     assert out["frames"].shape[0] == 2
     assert np.isfinite(out["latents"]).all()
+
+
+def test_generate_batch_pad_and_mask(tiny_pipe):
+    """B=3 on an 8-device mesh with data_parallel: the batch pads to 8,
+    shards, and the padding rows are dropped from the output — callers get
+    dp execution instead of a silent single-device fallback."""
+    prompts = [f"thing {i}" for i in range(3)]
+    out = tiny_pipe.generate_batch(
+        prompts, steps=2, use_gs_refine=False, seed=3, data_parallel=True
+    )
+    f = tiny_pipe.max_frames
+    hres = tiny_pipe.resolution[1]
+    assert out["frames"].shape == (3, f, hres, hres, 3)
+    assert out["latents"].shape[0] == 3
+    assert np.isfinite(out["latents"]).all()
+    # the padded program is the same specialization as a full B=8 batch
+    assert any(k[3] == 8 for k in tiny_pipe._samplers)
+
+
+def test_hash_tokenizer_fallback_warns(caplog):
+    """Absent BPE vocab must WARN loudly (garbage conditioning with real
+    weights otherwise goes unnoticed)."""
+    import logging
+
+    from videomv_tpu.data import tokenizer as tk
+
+    tk._tokenizer_cache.pop("definitely/missing/vocab.txt.gz", None)
+    with caplog.at_level(logging.WARNING, logger="videomv_tpu.data.tokenizer"):
+        tok = tk.get_tokenizer("definitely/missing/vocab.txt.gz")
+    assert isinstance(tok, tk.HashTokenizer)
+    assert any("hash" in r.message.lower() for r in caplog.records)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import gzip
 import html
+import logging
 import os
 import re
 from typing import List, Sequence, Union
@@ -171,6 +172,13 @@ def get_tokenizer(bpe_path: str = DEFAULT_BPE_PATH):
         if os.path.exists(bpe_path):
             _tokenizer_cache[key] = SimpleTokenizer(bpe_path)
         else:
+            logging.getLogger(__name__).warning(
+                "CLIP BPE vocab not found at %s — falling back to the hash "
+                "tokenizer. Token ids are NOT BPE-compatible: with real "
+                "pretrained weights text conditioning will be garbage. "
+                "Provide the open_clip bpe_simple_vocab_16e6.txt.gz asset.",
+                bpe_path,
+            )
             _tokenizer_cache[key] = HashTokenizer()
     return _tokenizer_cache[key]
 

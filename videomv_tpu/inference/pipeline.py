@@ -419,24 +419,37 @@ class T2VPipeline:
         noise_rng, sample_rng = jax.random.split(rng)
         noise = jax.random.normal(noise_rng, (b, 4, self.max_frames, h, w))
 
-        if data_parallel and jax.device_count() > 1 and b % jax.device_count() == 0:
+        b_run = b
+        if data_parallel and jax.device_count() > 1:
+            n = jax.device_count()
+            pad = (-b) % n
+            if pad:
+                # pad-and-mask: replicate the last prompt's rows so the
+                # batch shards evenly, drop the padding after decode
+                def _pad(x):
+                    last = jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])
+                    return jnp.concatenate([x, last], axis=0)
+
+                noise, y_words = _pad(noise), _pad(y_words)
+                zero_y, cam = _pad(zero_y), _pad(cam)
+                b_run = b + pad
             mesh = make_mesh()
             sharded = shard_batch(mesh, {"noise": noise, "y": y_words,
                                          "zero_y": zero_y, "cam": cam})
             noise, y_words = sharded["noise"], sharded["y"]
             zero_y, cam = sharded["zero_y"], sharded["cam"]
 
-        key = (steps, guide_scale, use_gs_refine, b)
+        key = (steps, guide_scale, use_gs_refine, b_run)
         if key not in self._samplers:
             self._samplers[key] = self._build_sampler(
-                steps, guide_scale, use_gs_refine, b=b)
+                steps, guide_scale, use_gs_refine, b=b_run)
         latents = self._samplers[key](
             self._params, noise, y_words, zero_y, cam,
             gs_rays, gs_cv, gs_cvp, sample_rng,
         )
         frames = self._decode_latents(latents)
         frames_np = np.asarray(jnp.round(frames * 255)).astype(np.uint8)
-        return {"frames": frames_np, "latents": np.asarray(latents)}
+        return {"frames": frames_np[:b], "latents": np.asarray(latents)[:b]}
 
     # ------------------------------------------------------- 3D export
 

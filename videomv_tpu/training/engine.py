@@ -278,7 +278,7 @@ class T2VTrainer:
             n_input_views=int(opts.num_input_views),
             n_supervise_extra=max(int(opts.num_views) - int(opts.num_input_views), 0),
             render_size=int(opts.output_size), fovy_deg=float(opts.fovy),
-            splat_backend=str(cfg.get("splat_backend", "dense")),
+            splat_backend=str(cfg.get("splat_backend", "auto")),
             lpips=self.lpips,
             lambda_lpips=float(cfg.get("lambda_lpips", opts.lambda_lpips)),
         )
