@@ -92,6 +92,15 @@ class T2VPipeline:
 
     def __post_init__(self):
         cfg = self.cfg
+        # escape hatch for acceptance validation: `sampling_dtype: float32`
+        # forces the whole tower stack to fp32 (TPU matmuls otherwise run
+        # bf16, ~5e-3 per-op drift — scripts/psnr_vs_reference.py bounds the
+        # compounded effect against the 30 dB PSNR budget)
+        sd = str(cfg.get("sampling_dtype", "")).lower()
+        if sd in ("float32", "fp32", "f32"):
+            self.dtype = jnp.float32
+        elif sd in ("bfloat16", "bf16"):
+            self.dtype = jnp.bfloat16
         d = dict(cfg.get("Diffusion", {}))
         d.pop("type", None)
         d.pop("ddim_timesteps", None)

@@ -109,11 +109,19 @@ def fsdp_shardings(tree, mesh: Mesh, axis: str = "dp", min_size: int = 1 << 16):
         shape = getattr(x, "shape", ())
         if not shape or int(np.prod(shape)) < min_size:
             return repl
-        # largest divisible dim wins; ties → earliest
-        best, best_dim = -1, None
+        # EARLIEST divisible dim wins. For 2D kernels that is the
+        # in-features dim: sharding out-features propagates the weight
+        # sharding into the activation, and the (tokens, inner) →
+        # (tokens, heads, head_dim) reshape before attention then forces an
+        # "[SPMD] Involuntary full rematerialization" (XLA cannot reshard a
+        # factored split efficiently — observed on every attn2 in the fsdp
+        # dryrun). In-feature sharding keeps activations batch-sharded:
+        # XLA all-gathers the weight before use, the ZeRO recipe.
+        best_dim = None
         for i, d in enumerate(shape):
-            if d % n == 0 and d > best:
-                best, best_dim = d, i
+            if d % n == 0:
+                best_dim = i
+                break
         if best_dim is None:
             return repl
         parts = [None] * len(shape)
