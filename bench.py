@@ -19,6 +19,7 @@ import time
 
 
 def main():
+    import glob
     import os
 
     import jax
@@ -28,6 +29,7 @@ def main():
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    cache_files_before = len(glob.glob(os.path.join(cache_dir, "*-cache")))
     import jax.numpy as jnp
 
     from videomv_tpu.diffusion import GaussianDiffusion
@@ -98,6 +100,7 @@ def main():
 
     p50 = statistics.median(lat)
     target = 10.0  # BASELINE.md north star: <10 s / sample on one chip
+    cache_files_after = len(glob.glob(os.path.join(cache_dir, "*-cache")))
     print(json.dumps({
         "metric": "t2v_24view_256px_50step_p50_latency",
         "value": round(p50, 3),
@@ -106,6 +109,11 @@ def main():
         "ddim_steps_per_sec": round(steps / p50, 2),
         "batches_per_sec_per_chip": round(1.0 / p50, 4),
         "compile_s": round(compile_time, 1),
+        # first-call < 60s means the compile was served from cache (either
+        # jax's persistent cache or the tunnel server's); cold compiles of
+        # this program run O(10 min) through the tunneled compiler
+        "compile_warm": compile_time < 60.0,
+        "cache_entries_written": cache_files_after - cache_files_before,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }))

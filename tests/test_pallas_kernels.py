@@ -254,3 +254,41 @@ class TestFusedSpatial:
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=2e-2, atol=3e-2,
         )
+
+
+def test_counting_binning_matches_sort(interpret_kernels):
+    """The opt-in counting placement (cumulative-rectangle ranks, no sort)
+    must produce bit-identical payload/tile tables to the sort path.
+    (A/B-measured slower on TPU — kept as the documented alternative;
+    scripts/ab_counting_sort.py.)"""
+    from videomv_tpu.ops.gaussian_splat import project_gaussians
+
+    img_size = 32
+    gaussians, cv, cvp = _random_scene(192)
+    tan_half_fov = float(np.tan(0.5 * np.deg2rad(39.6)))
+    proj = project_gaussians(gaussians, cv, cvp, img_size, tan_half_fov)
+    outs = {}
+    for counting in (False, True):
+        outs[counting] = sp._bin_pairs(
+            *proj, img_size=img_size, max_pairs=1 << 12, max_span=16,
+            counting=counting,
+        )
+    for a, b in zip(outs[False][:3], outs[True][:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_counting_binning_overflow_prefix(interpret_kernels):
+    """Overflowed capacity keeps a depth-prefix: tile counts must never
+    exceed the capacity and the composite must stay finite."""
+    from videomv_tpu.ops.gaussian_splat import project_gaussians
+
+    img_size = 32
+    gaussians, cv, cvp = _random_scene(192)
+    tan_half_fov = float(np.tan(0.5 * np.deg2rad(39.6)))
+    proj = project_gaussians(gaussians, cv, cvp, img_size, tan_half_fov)
+    payload, ts, tc, n_side = sp._bin_pairs(
+        *proj, img_size=img_size, max_pairs=512, max_span=16, counting=True,
+    )
+    assert int((ts + tc).max()) <= 512
+    img, alpha, depth = sp._composite_tiles(payload, ts, tc, n_side)
+    assert np.isfinite(np.asarray(img)).all()

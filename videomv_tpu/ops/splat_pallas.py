@@ -84,9 +84,45 @@ def _unpack2(row):
     return hi, lo
 
 
+def _rect_rank_excl(rx, ry, n_side: int, blk: int = 128):
+    """Exclusive per-tile depth rank via cumulative rectangle coverage.
+
+    ``rx``/``ry``: [N, n_side] interval indicators of each (depth-ordered)
+    Gaussian's tile span. Returns ``(C_excl [N, T] , tile_counts [T])``
+    where ``C_excl[g, t]`` = number of Gaussians before g covering tile t —
+    i.e. g's within-tile depth rank. Computed hierarchically with
+    triangular MATMULS on the MXU (XLA's native cumsum over a 65k axis is
+    multi-pass and slow; two tril contractions are ~free): block-local
+    exclusive prefix + exclusive prefix of block totals. Counts stay exact
+    in fp32 (integers < 2^24)."""
+    N = rx.shape[0]
+    T = n_side * n_side
+    pad = (-N) % blk
+    rect = (ry[:, :, None] & rx[:, None, :]).reshape(N, T).astype(jnp.float32)
+    if pad:
+        rect = jnp.concatenate([rect, jnp.zeros((pad, T), jnp.float32)])
+    nb = rect.shape[0] // blk
+    r3 = rect.reshape(nb, blk, T)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    l_in = (ii < jj).astype(jnp.float32)          # strict: j < i contributes
+    pref = jnp.einsum("bjt,ji->bit", r3, l_in,
+                      preferred_element_type=jnp.float32)
+    btot = jnp.sum(r3, axis=1)                     # [nb, T]
+    bi = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    bj = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    l_b = (bi < bj).astype(jnp.float32)
+    bexcl = jnp.einsum("bt,bc->ct", btot, l_b,
+                       preferred_element_type=jnp.float32)
+    C_excl = (pref + bexcl[:, None, :]).reshape(-1, T)[:N]
+    tile_counts = jnp.sum(btot, axis=0)
+    return C_excl, tile_counts
+
+
 def _bin_pairs(
     mean2d, inv_cov, depth, radius, color, opacity, valid,
     img_size: int, max_pairs: int, max_span: int, packed: bool = False,
+    counting: bool = False,
 ):
     """Build the depth-ordered, tile-sorted, chunk-aligned pair list.
 
@@ -165,29 +201,67 @@ def _bin_pairs(
         tile_y = m[:, 3] + local // m[:, 1]
     tile_id = jnp.where(pair_live, tile_y * n_tiles_side + tile_x, n_tiles)
 
-    # stable sort by tile keeps the depth order within each tile. Sorting is
-    # the binning bottleneck (XLA's TPU sort makes O(log²) passes over the
-    # arrays), so when (tile_id, gaussian id) packs into 32 bits we sort ONE
-    # uint32 key instead of carrying a second array through every pass.
-    # The GAUSSIAN id (not the pair index) goes in the low bits: it is
-    # depth-ordered after the argsort above, a (gaussian, tile) pair is
-    # unique, so within-tile depth order is preserved by construction AND
-    # the sorted key directly yields pair_sorted — no post-sort gather.
-    idx_bits = max(1, (N - 1).bit_length())
-    idx_mask = (1 << idx_bits) - 1
-    if (n_tiles + 1) << idx_bits <= 2**32:
-        key = (tile_id.astype(jnp.uint32) << idx_bits) | pair_g.astype(jnp.uint32)
-        key_sorted = jax.lax.sort(key)
-        tile_sorted = (key_sorted >> idx_bits).astype(jnp.int32)
-        pair_sorted = (key_sorted & idx_mask).astype(jnp.int32)
-    else:
-        tile_sorted, pair_sorted = jax.lax.sort(
-            (tile_id, pair_g), num_keys=1, is_stable=True
-        )
+    # counting placement needs the [N, T] rank table resident; beyond
+    # ~128M entries (512² with 400k Gaussians) fall back to the sort.
+    # A/B-measured SLOWER than the uint32 sort on TPU (26.6 vs 14.4 ms/view
+    # at the refine shapes, 73.7 vs 30.8 at 512² — scripts/ab_counting_sort
+    # .py, outputs bit-identical): the per-pair rank gather + position
+    # scatter are scalar-access bound, exactly the access pattern the TPU
+    # is worst at, while XLA's sort runs vectorized passes. Kept opt-in as
+    # the documented negative result; default stays on the sort.
+    if counting and n_tiles <= 4096 and N * n_tiles <= (1 << 27):
+        # single-pass counting placement instead of a sort: each pair's
+        # final tile-major position is tile_start[tile] + (within-tile
+        # depth rank), with the rank read from the cumulative-rectangle
+        # table (every Gaussian covers a RECTANGLE of tiles, so "earlier
+        # Gaussians covering tile t" is an exclusive cumsum of rank-1
+        # rect indicators — MXU triangular matmuls, no O(P log² P) sort
+        # passes). Overflow keeps the depth-PREFIX of Gaussians that fit
+        # entirely (the sort path additionally kept a partial boundary
+        # Gaussian — visually identical, both drop only the deepest).
+        keep = ends <= max_pairs
+        si = jax.lax.broadcasted_iota(jnp.int32, (N, n_tiles_side), 1)
+        rx = (si >= tx0[:, None]) & (si < (tx0 + span_x)[:, None]) & keep[:, None]
+        ry = (si >= ty0[:, None]) & (si < (ty0 + span_y)[:, None])
+        C_excl, tile_counts = _rect_rank_excl(rx, ry, n_tiles_side)
+        tc = tile_counts.astype(jnp.int32)
+        tile_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(tc)[:-1]])
+        tile_count = tc
 
-    starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left")
-    tile_start = starts[:-1].astype(jnp.int32)
-    tile_count = (starts[1:] - starts[:-1]).astype(jnp.int32)
+        tlin = jnp.clip(tile_id, 0, n_tiles - 1)
+        rank = C_excl.reshape(-1)[pair_g * n_tiles + tlin].astype(jnp.int32)
+        pair_ok = pair_live & keep[pair_g]
+        pos = jnp.where(pair_ok, tile_start[tlin] + rank, max_pairs)
+        perm = jnp.zeros((max_pairs,), jnp.int32).at[pos].set(
+            pair_g, mode="drop")
+        pair_sorted = perm
+        # positions are tile-major dense: exactly sum(kept counts) are live
+        pair_live = pair_idx < jnp.sum(jnp.where(keep, counts, 0))
+    else:
+        # stable sort by tile keeps the depth order within each tile. When
+        # (tile_id, gaussian id) packs into 32 bits we sort ONE uint32 key
+        # instead of carrying a second array through every pass. The
+        # GAUSSIAN id (not the pair index) goes in the low bits: it is
+        # depth-ordered after the argsort above, a (gaussian, tile) pair is
+        # unique, so within-tile depth order is preserved by construction
+        # AND the sorted key directly yields pair_sorted — no post-sort
+        # gather.
+        idx_bits = max(1, (N - 1).bit_length())
+        idx_mask = (1 << idx_bits) - 1
+        if (n_tiles + 1) << idx_bits <= 2**32:
+            key = (tile_id.astype(jnp.uint32) << idx_bits) | pair_g.astype(jnp.uint32)
+            key_sorted = jax.lax.sort(key)
+            tile_sorted = (key_sorted >> idx_bits).astype(jnp.int32)
+            pair_sorted = (key_sorted & idx_mask).astype(jnp.int32)
+        else:
+            tile_sorted, pair_sorted = jax.lax.sort(
+                (tile_id, pair_g), num_keys=1, is_stable=True
+            )
+
+        starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left")
+        tile_start = starts[:-1].astype(jnp.int32)
+        tile_count = (starts[1:] - starts[:-1]).astype(jnp.int32)
 
     # pair payload (attributes in sublanes, pairs in lanes — DMA slices are
     # lane-aligned 512-pair chunks at the aligned offsets).  Assemble the
