@@ -30,6 +30,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cache_files_before = len(glob.glob(os.path.join(cache_dir, "*-cache")))
+    if os.environ.get("VIDEOMV_CACHE_DEBUG"):
+        from videomv_tpu.utils.cache_debug import install as _cache_debug
+        _cache_debug()
     import jax.numpy as jnp
 
     from videomv_tpu.diffusion import GaussianDiffusion
