@@ -52,11 +52,7 @@ def make_keys(G):
 
 
 def bench(f, x, n=30):
-    g = jax.jit(f)
-    out = g(x)
-    jax.block_until_ready(out)
-    t = time_chained(g, x, iters=n)
-    return t
+    return time_chained_u32(f, x, n=n)
 
 
 for G in (8, 16, 48):

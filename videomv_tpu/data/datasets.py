@@ -311,3 +311,37 @@ def batch_iterator(dataset, batch_size: int, keys: Optional[Sequence[str]] = Non
                     batch[k] = vals
             yield batch
             buf = []
+
+
+def prefetch_host(batches: Iterator[Dict], depth: int = 2) -> Iterator[Dict]:
+    """Run a batch iterator in a background thread, keeping ``depth``
+    host batches queued ahead.
+
+    The reference hides loader latency behind torch DataLoader worker
+    processes (train_t2v_enterance.py DataLoader(num_workers=...)); on the
+    one-core TPU host a daemon thread is the right shape — numpy releases
+    the GIL for the copy/stack work, and the main thread spends its time
+    blocked in device dispatch anyway. Exceptions propagate to the
+    consumer; StopIteration ends the stream cleanly."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(b)
+            q.put(_END)
+        except BaseException as e:  # propagate into the training loop
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
