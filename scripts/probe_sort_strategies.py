@@ -31,11 +31,11 @@ def time_chained_u32(step_fn, x0, n=20, repeats=3):
         x, _ = jax.lax.scan(body, x, None, length=n)
         return jnp.sum(x)
 
-    s = chain(x0); s.block_until_ready()
+    int(chain(x0))  # device_get is the only reliable sync through the tunnel
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        chain(x0).block_until_ready()
+        int(chain(x0))
         best = min(best, (time.perf_counter() - t0) / n)
     return best
 

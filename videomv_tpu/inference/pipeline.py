@@ -308,6 +308,7 @@ class T2VPipeline:
                     gs_settings=gs_settings,
                     y=y, zero_y=zero_y, cam=cam, gs_rays=gs_rays,
                     cam_view=cam_view, cam_view_proj=cam_view_proj,
+                    uncond_mode=str(self.cfg.get("gs_refine_uncond", "full")),
                 )
             latents = ddim_sample_loop(
                 diffusion, cfg_model, noise,

@@ -52,27 +52,49 @@ def make_refine_fn(
     cam_view=None,
     cam_view_proj=None,
     splat_backend: str = "auto",
+    uncond_mode: str = "full",
+    view_idxs: tuple = REFINE_VIEW_IDXS,
 ) -> Callable:
     """Build ``refine_fn(xt, t) -> (cond_latent_x0, uncond_latent_x0)``.
 
     gs_rays: [1, V, 6, S, S] Plücker embeddings; cam_view/cam_view_proj:
     [1, V, 4, 4] splat camera matrices (from prepare_gs_cameras).
+
+    ``uncond_mode``:
+      - ``"full"`` (default, reference parity): BOTH CFG rows run the whole
+        refine branch — the reference calls the model separately for
+        cond/uncond kwargs with ``autoencoder`` passed both times
+        (diffusion_ddim.py:148-155), so the uncond row gets its own LGM
+        reconstruction and renders, and the DDIM update extrapolates
+        between the two refined latents with guide_scale.
+      - ``"shared"`` (fast serving mode, NOT reference semantics): only the
+        cond row runs the refine; the uncond row reuses its latents, which
+        collapses the CFG lerp to the cond refine. Halves the refine-step
+        cost (1 UNet row, 4 decodes, 1 LGM scene, V renders, V encodes).
+        Opt-in via config ``gs_refine_uncond: shared``.
     """
-    idxs = jnp.asarray(REFINE_VIEW_IDXS, dtype=jnp.int32)
+    idxs = jnp.asarray(view_idxs, dtype=jnp.int32)
     in_size = gs_settings.input_size
     out_size = gs_settings.output_size
     vid_mean = jnp.asarray(_VID_MEAN).reshape(1, 1, 3, 1, 1)
     vid_std = jnp.asarray(_VID_STD).reshape(1, 1, 3, 1, 1)
 
+    shared = uncond_mode == "shared"
+    if uncond_mode not in ("full", "shared"):
+        raise ValueError(f"uncond_mode must be 'full' or 'shared', got {uncond_mode!r}")
+
     def refine_fn(xt, t):
         b = batch
         f = xt.shape[2]
 
-        # both CFG rows through the UNet in one batch
-        x2 = jnp.concatenate([xt, xt], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        y2 = jnp.concatenate([y, zero_y], axis=0)
-        c2 = jnp.concatenate([cam, cam], axis=0)
+        if shared:
+            x2, t2, y2, c2 = xt, t, y, cam
+        else:
+            # both CFG rows through the UNet in one batch
+            x2 = jnp.concatenate([xt, xt], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            y2 = jnp.concatenate([y, zero_y], axis=0)
+            c2 = jnp.concatenate([cam, cam], axis=0)
         eps = unet.apply(params["unet"], x2, t2, y=y2, camera_data=c2)
 
         # eps → fake x0 (same algebra as the reference _i() lines,
@@ -116,6 +138,8 @@ def make_refine_fn(
         )  # [2b*V, 4, h, w]
         z = z.reshape(b2, V, 4, z.shape[-2], z.shape[-1]).transpose(0, 2, 1, 3, 4)
 
+        if shared:
+            return z, z
         return z[:b], z[b:]
 
     return refine_fn
