@@ -256,6 +256,41 @@ class TestFusedSpatial:
         )
 
 
+def test_expand_tiers_bit_identical(interpret_kernels):
+    """The three pair-expansion tiers (single packed cummax / two-cummax /
+    per-pair meta row-gather — selected statically by int32 bit budget) must
+    produce bit-identical payload and tile tables on the same scene.
+    Only the fastest tier runs in production at a given shape
+    (scripts/probe_expand_variants.py); this pins semantic equivalence."""
+    from videomv_tpu.ops.gaussian_splat import project_gaussians
+
+    img_size = 32
+    gaussians, cv, cvp = _random_scene(192)
+    tan_half_fov = float(np.tan(0.5 * np.deg2rad(39.6)))
+    proj = project_gaussians(gaussians, cv, cvp, img_size, tan_half_fov)
+    outs = {
+        mode: sp._bin_pairs(
+            *proj, img_size=img_size, max_pairs=1 << 12, max_span=16,
+            expand_mode=mode,
+        )
+        for mode in ("packed1", "packed2", "gather")
+    }
+    for mode in ("packed2", "gather"):
+        for a, b in zip(outs["packed1"][:3], outs[mode][:3]):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=mode)
+
+
+def test_prefix_sum_mxu_matches_cumsum():
+    """MXU triangular-matmul prefix sum == jnp.cumsum for int32 histograms
+    (padding, non-divisible lengths, repeated values)."""
+    rng = np.random.default_rng(3)
+    for n in (256, 300, 4096, 5000):
+        x = rng.integers(0, 7, n).astype(np.int32)
+        got = np.asarray(sp._prefix_sum_mxu(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.cumsum(x).astype(np.int32))
+
+
 def test_counting_binning_matches_sort(interpret_kernels):
     """The opt-in counting placement (cumulative-rectangle ranks, no sort)
     must produce bit-identical payload/tile tables to the sort path.

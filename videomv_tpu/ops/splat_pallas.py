@@ -84,6 +84,30 @@ def _unpack2(row):
     return hi, lo
 
 
+def _prefix_sum_mxu(x, blk: int = 256):
+    """Inclusive int32 prefix sum over a 1-D axis as hierarchical triangular
+    matmuls on the MXU: block-local tril contraction + block-total offsets.
+    XLA lowers jnp.cumsum over a 300k axis to ~log2(P) strided passes; one
+    [blk,blk] matmul per block plus a tiny block-level cumsum is ~25% faster
+    at the binning shapes (scripts/probe_expand_variants.py: v3 vs v0).
+    Exact while values stay < 2^24 (fp32 integer range)."""
+    P = x.shape[-1]
+    pad = (-P) % blk
+    xf = x.astype(jnp.float32)
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad,), jnp.float32)])
+    nb = xf.shape[0] // blk
+    r = xf.reshape(nb, blk)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    tril = (ii <= jj).astype(jnp.float32)  # out[j] = sum_{i<=j} x[i]
+    loc = jax.lax.dot_general(r, tril, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    tot = jnp.sum(r, axis=1)
+    off = jnp.cumsum(tot) - tot            # exclusive block offsets (nb small)
+    return (loc + off[:, None]).reshape(-1)[:P].astype(jnp.int32)
+
+
 def _rect_rank_excl(rx, ry, n_side: int, blk: int = 128):
     """Exclusive per-tile depth rank via cumulative rectangle coverage.
 
@@ -122,7 +146,7 @@ def _rect_rank_excl(rx, ry, n_side: int, blk: int = 128):
 def _bin_pairs(
     mean2d, inv_cov, depth, radius, color, opacity, valid,
     img_size: int, max_pairs: int, max_span: int, packed: bool = False,
-    counting: bool = False,
+    counting: bool = False, expand_mode: str | None = None,
 ):
     """Build the depth-ordered, tile-sorted, chunk-aligned pair list.
 
@@ -168,13 +192,39 @@ def _bin_pairs(
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
     pair_live = pair_idx < total
     marks = jnp.zeros((max_pairs,), jnp.int32).at[ends[:-1]].add(1, mode="drop")
-    pair_g = jnp.minimum(jnp.cumsum(marks), N - 1)
+    if N < (1 << 24):
+        pair_g = jnp.minimum(_prefix_sum_mxu(marks), N - 1)
+    else:
+        pair_g = jnp.minimum(jnp.cumsum(marks), N - 1)
     span1 = jnp.maximum(span_x, 1)
 
     pos_bits = (max_pairs - 1).bit_length()
     t_bits = max(1, (n_tiles_side - 1).bit_length())
     t_mask = (1 << t_bits) - 1
-    if pos_bits + 4 + t_bits <= 31 and max_span <= 16:
+    if expand_mode is None:  # static tier choice by bit budget
+        if pos_bits + 4 + 2 * t_bits <= 31 and max_span <= 16:
+            expand_mode = "packed1"
+        elif pos_bits + 4 + t_bits <= 31 and max_span <= 16:
+            expand_mode = "packed2"
+        else:
+            expand_mode = "gather"
+    if expand_mode == "packed1":
+        # everything fits ONE tagged int32 (pos | span-1 | tx | ty): a
+        # single scatter-max + cummax replaces the two of the branch below
+        # (-26% on the expansion stage — scripts/probe_expand_variants.py
+        # v1-packed vs v0). At the refine shapes: 19 + 4 + 4 + 4 = 31 bits.
+        meta = ((span1 - 1) << (2 * t_bits)) | (tx0 << t_bits) | ty0
+        sh = 4 + 2 * t_bits
+        starts_idx = jnp.where(counts[1:] > 0, ends[:-1], max_pairs)
+        c = jnp.zeros((max_pairs,), jnp.int32).at[starts_idx].max(
+            (starts_idx << sh) | meta[1:], mode="drop")
+        c = c.at[0].max(jnp.where(counts[0] > 0, meta[0], 0))
+        run = jax.lax.cummax(c)
+        s = ((run >> (2 * t_bits)) & 15) + 1
+        local = pair_idx - (run >> sh)
+        tile_x = ((run >> t_bits) & t_mask) + local % s
+        tile_y = (run & t_mask) + local // s
+    elif expand_mode == "packed2":
         meta_a = (span1 - 1) | (tx0 << 4)          # 4 + t_bits bits
         meta_b = ty0                               # t_bits bits
         # zero-count gaussians own no run — mask them out so scattered
