@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-3 TPU measurement chain #4 (serial):
+#   1. train-step knob A/B (prng_impl=rbg, remat_policy=dots_no_batch)
+#   2. bf16-vs-fp32 50-step drift bound (VERDICT r2 missing #1 deliverable)
+#   3. full-size I2V e2e on TPU (first hardware run of the I2V engine)
+set -x
+cd /root/repo
+mkdir -p workspace/logs
+timeout 1800 python -m pytest tests/test_train_knobs.py tests/test_parallel.py -q > workspace/logs/pytest_knobs_r3.log 2>&1
+echo "pytest_knobs exit=$?" >> workspace/logs/pytest_knobs_r3.log
+timeout 5400 python scripts/train_ab_knobs.py > workspace/logs/train_ab_knobs_r3.log 2>&1
+echo "train_ab exit=$?" >> workspace/logs/train_ab_knobs_r3.log
+timeout 5400 python scripts/psnr_vs_reference.py --self_consistency > workspace/logs/psnr_drift_r3.log 2>&1
+echo "psnr_drift exit=$?" >> workspace/logs/psnr_drift_r3.log
+timeout 3600 python scripts/i2v_e2e_tpu.py > workspace/logs/i2v_e2e_r3.log 2>&1
+echo "i2v exit=$?" >> workspace/logs/i2v_e2e_r3.log
+echo ALL DONE
