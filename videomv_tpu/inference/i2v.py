@@ -210,5 +210,5 @@ class I2VPipeline(T2VPipeline):
             jnp.asarray(gs["cam_view_proj"]), sample_rng,
         )
         frames = self._decode_latents(latents)
-        frames_np = np.asarray(jnp.round(frames[0] * 255)).astype(np.uint8)
+        frames_np = np.asarray(frames[0])
         return {"frames": frames_np, "latents": np.asarray(latents)}

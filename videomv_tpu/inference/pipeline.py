@@ -320,7 +320,12 @@ class T2VPipeline:
         return sample
 
     def _decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
-        """[B, 4, F, h, w] → [B, F, H, W, 3] float in [0, 1]."""
+        """[B, 4, F, h, w] → [B, F, H, W, 3] uint8 (on device).
+
+        The round + uint8 cast happens IN the jitted program: downloading
+        fp32 frames through the tunnel costs 4× the bytes (18.9 MB vs
+        4.7 MB for 24×256² views) for a bit-identical result — the host
+        used to run the same jnp.round before its cast."""
         if self._decode_fn is None:
             vae, sf = self.vae, self.scale_factor
 
@@ -330,7 +335,8 @@ class T2VPipeline:
                 z = z.transpose(0, 2, 1, 3, 4).reshape(b * f, c, h, w) / sf
                 img = vae.apply(params, z, method=vae.decode)  # [BF, 3, H, W]
                 img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
-                return img.reshape(b, f, 3, img.shape[-2], img.shape[-1]).transpose(0, 1, 3, 4, 2)
+                img = img.reshape(b, f, 3, img.shape[-2], img.shape[-1]).transpose(0, 1, 3, 4, 2)
+                return jnp.round(img * 255.0).astype(jnp.uint8)
 
             self._decode_fn = decode
         return self._decode_fn(self._params["vae"], latents)
@@ -383,7 +389,7 @@ class T2VPipeline:
             gs_rays, gs_cv, gs_cvp, sample_rng,
         )
         frames = self._decode_latents(latents)
-        frames_np = np.asarray(jnp.round(frames[0] * 255)).astype(np.uint8)
+        frames_np = np.asarray(frames[0])
         return {"frames": frames_np, "latents": np.asarray(latents)}
 
     def generate_batch(
@@ -458,7 +464,7 @@ class T2VPipeline:
             gs_rays, gs_cv, gs_cvp, sample_rng,
         )
         frames = self._decode_latents(latents)
-        frames_np = np.asarray(jnp.round(frames * 255)).astype(np.uint8)
+        frames_np = np.asarray(frames)
         return {"frames": frames_np[:b], "latents": np.asarray(latents)[:b]}
 
     # ------------------------------------------------------- 3D export
