@@ -41,3 +41,13 @@ t0 = time.time()
 out = pipe.generate_from_image(img_path, steps=50, seed=12)
 print(f"i2v sample steady {time.time()-t0:.1f}s "
       f"finite={np.isfinite(out['frames']).all()}", flush=True)
+
+# first hardware run of the I2V refine path in the shipped default mode
+# (gs_refine_uncond: shared, configs/i2vgen_xl_infer.yaml)
+t0 = time.time()
+ref = pipe.generate_from_image(img_path, steps=50, use_gs_refine=True, seed=12)
+print(f"i2v refined compile+run {time.time()-t0:.0f}s "
+      f"finite={np.isfinite(ref['frames']).all()}", flush=True)
+t0 = time.time()
+ref = pipe.generate_from_image(img_path, steps=50, use_gs_refine=True, seed=13)
+print(f"i2v refined steady {time.time()-t0:.1f}s", flush=True)

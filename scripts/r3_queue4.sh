@@ -6,12 +6,15 @@
 set -x
 cd /root/repo
 mkdir -p workspace/logs
-timeout 1800 python -m pytest tests/test_train_knobs.py tests/test_parallel.py -q > workspace/logs/pytest_knobs_r3.log 2>&1
+timeout 2700 python -m pytest tests/test_train_knobs.py tests/test_parallel.py tests/test_i2v_pipeline.py tests/test_refine_fn.py tests/test_config.py -q > workspace/logs/pytest_knobs_r3.log 2>&1
 echo "pytest_knobs exit=$?" >> workspace/logs/pytest_knobs_r3.log
 timeout 5400 python scripts/train_ab_knobs.py > workspace/logs/train_ab_knobs_r3.log 2>&1
 echo "train_ab exit=$?" >> workspace/logs/train_ab_knobs_r3.log
 timeout 5400 python scripts/psnr_vs_reference.py --self_consistency > workspace/logs/psnr_drift_r3.log 2>&1
 echo "psnr_drift exit=$?" >> workspace/logs/psnr_drift_r3.log
-timeout 3600 python scripts/i2v_e2e_tpu.py > workspace/logs/i2v_e2e_r3.log 2>&1
+timeout 5400 python scripts/i2v_e2e_tpu.py > workspace/logs/i2v_e2e_r3.log 2>&1
 echo "i2v exit=$?" >> workspace/logs/i2v_e2e_r3.log
+# retry: first attempt died on a tunnel remote_compile outage (batch_tp_r3.log)
+timeout 5400 python scripts/batch_throughput_tpu.py > workspace/logs/batch_tp_r3b.log 2>&1
+echo "batch_tp exit=$?" >> workspace/logs/batch_tp_r3b.log
 echo ALL DONE
