@@ -73,16 +73,9 @@ class DiffusionParams:
         posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
 
         f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
-        # zero-terminal-SNR schedules have alphas_cumprod[-1] == 0; the recip
-        # entries are inf there (as in the reference torch code) but are never
-        # consumed by the v-parameterization that such schedules pair with.
-        old = np.seterr(divide="ignore")
-        try:
-            return cls._create_arrays(cls, betas, alphas, alphas_cumprod,
-                                      alphas_cumprod_prev, alphas_cumprod_next,
-                                      posterior_variance, f32)
-        finally:
-            np.seterr(**old)
+        return cls._create_arrays(cls, betas, alphas, alphas_cumprod,
+                                  alphas_cumprod_prev, alphas_cumprod_next,
+                                  posterior_variance, f32)
 
     @staticmethod
     def _create_arrays(cls, betas, alphas, alphas_cumprod, alphas_cumprod_prev,
@@ -95,8 +88,18 @@ class DiffusionParams:
             sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
             sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
             log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
-            sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
-            sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+            # zero-terminal-SNR schedules have alphas_cumprod[-1] == 0 and
+            # the raw reciprocals are inf there (the reference torch code
+            # keeps the infs and NaNs whenever a DDIM step sequence includes
+            # t = T-1, e.g. ddim_timesteps that don't divide T — a latent
+            # reference bug). Clamping acp in the reciprocals recovers the
+            # exact limit instead: x0_to_eps -> (xt - ~0·x0) -> xt as
+            # acp -> 0, which is the correct eps at pure noise. Entries with
+            # acp ≥ 1e-12 (every non-terminal index) are bit-unchanged.
+            sqrt_recip_alphas_cumprod=f32(
+                np.sqrt(1.0 / np.maximum(alphas_cumprod, 1e-12))),
+            sqrt_recipm1_alphas_cumprod=f32(
+                np.sqrt(1.0 / np.maximum(alphas_cumprod, 1e-12) - 1.0)),
             posterior_variance=f32(posterior_variance),
             posterior_log_variance_clipped=f32(np.log(np.maximum(posterior_variance, 1e-20))),
             posterior_mean_coef1=f32(betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
