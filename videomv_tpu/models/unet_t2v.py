@@ -153,10 +153,30 @@ class UNetSD_T2VBase(nn.Module):
     temporal_attn_times: int = 1
     use_sim_mask: bool = False
     use_checkpoint: bool = False
+    # remat granularity when use_checkpoint=True (config key remat_policy):
+    #   'full'          — save only block boundaries (max memory saving,
+    #                     full recompute in backward; the reference
+    #                     fairscale semantics)
+    #   'dots_no_batch' — jax.checkpoint_policies.dots_with_no_batch_dims_
+    #                     saveable: GEMM outputs survive to the backward,
+    #                     only elementwise/norm work recomputes
+    #   'dots'          — dots_saveable: every dot product saved (incl.
+    #                     batched attention matmuls) — cheapest recompute,
+    #                     highest residency
+    remat_policy: str = "full"
     use_fps_condition: bool = False
     use_camera_condition: bool = True
     use_image_dataset: bool = False
     dtype: Dtype = jnp.float32
+
+    def _remat_policy(self):
+        if self.remat_policy == "full":
+            return None
+        if self.remat_policy == "dots_no_batch":
+            return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        if self.remat_policy == "dots":
+            return jax.checkpoint_policies.dots_saveable
+        raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
 
     def _block(self, kind, name, cin, cout):
         d = self.dtype
@@ -164,11 +184,12 @@ class UNetSD_T2VBase(nn.Module):
         # checkpoint_wrapper, unet_t2v.py:436-514) — jax.checkpoint via
         # nn.remat; forward-only programs are unaffected
         ck = self.use_checkpoint
+        pol = self._remat_policy() if ck else None
         # nn.remat's static_argnums count the scope as args[0], so call-arg
         # i is static_argnums i+1
-        res_cls = nn.remat(ResBlock, static_argnums=(3, 4)) if ck else ResBlock
-        sp_cls = nn.remat(SpatialTransformer, static_argnums=(3,)) if ck else SpatialTransformer
-        tp_cls = nn.remat(TemporalTransformer, static_argnums=(2,)) if ck else TemporalTransformer
+        res_cls = nn.remat(ResBlock, static_argnums=(3, 4), policy=pol) if ck else ResBlock
+        sp_cls = nn.remat(SpatialTransformer, static_argnums=(3,), policy=pol) if ck else SpatialTransformer
+        tp_cls = nn.remat(TemporalTransformer, static_argnums=(2,), policy=pol) if ck else TemporalTransformer
         if kind == "conv_in":
             return nn.Conv(cout, kernel_size=(3, 3), padding=1, dtype=d, name=name)
         if kind == "res":
@@ -197,7 +218,7 @@ class UNetSD_T2VBase(nn.Module):
                 # MultiBlock (unet_t2v.py:175,194,225,250); the block then
                 # recomputes dim_head = dim // heads itself (util.py:885)
                 mb_cls = (
-                    nn.remat(TemporalAttentionMultiBlock, static_argnums=(5,))
+                    nn.remat(TemporalAttentionMultiBlock, static_argnums=(5,), policy=pol)
                     if ck
                     else TemporalAttentionMultiBlock
                 )
@@ -213,7 +234,7 @@ class UNetSD_T2VBase(nn.Module):
                 )
             if self.temporal_block == "attemask":
                 am_cls = (
-                    nn.remat(TemporalTransformerAttemask, static_argnums=(2,))
+                    nn.remat(TemporalTransformerAttemask, static_argnums=(2,), policy=pol)
                     if ck
                     else TemporalTransformerAttemask
                 )

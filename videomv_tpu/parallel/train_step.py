@@ -68,6 +68,7 @@ def build_train_step(
     p_zero: float = 0.1,
     zero_y=None,
     state_shardings=None,
+    prng_impl: Optional[str] = None,
 ):
     """Create the jitted DP train step.
 
@@ -80,6 +81,13 @@ def build_train_step(
     the reference substitutes it (``zero_y_negative``) for dropped rows
     (train_t2v_enterance.py:173-175,274), matching the uncond row that CFG
     inference uses. ``None`` falls back to literal zeros.
+
+    ``prng_impl``: PRNG used for the DROPOUT bit streams only (config key
+    ``prng_impl``; e.g. ``'rbg'``). The default threefry generates mask
+    bits with vector ALU hashing at every dropout site — a measurable
+    slice of the bf16 forward; ``'rbg'`` uses the hardware
+    RngBitGenerator. Sampling rngs (t, noise, cfg-drop) stay threefry so
+    loss streams stay reproducible across this switch at p_dropout=0.
 
     ``state_shardings``: optional ``TrainState``-shaped pytree of
     ``NamedSharding`` (see ``mesh.fsdp_shardings``). When given, the state
@@ -99,6 +107,11 @@ def build_train_step(
         latents = batch["latents"]
         b = latents.shape[0]
         t_rng, n_rng, z_rng, d_rng = jax.random.split(rng, 4)
+        if prng_impl:
+            # re-seat the dropout stream on a faster generator; the seed
+            # itself still derives deterministically from the step rng
+            d_seed = jax.random.randint(d_rng, (), 0, jnp.iinfo(jnp.int32).max)
+            d_rng = jax.random.key(d_seed, impl=prng_impl)
         t = jax.random.randint(t_rng, (b,), 0, diffusion.num_timesteps)
 
         # classifier-free dropout: dropped rows become the negative-prompt

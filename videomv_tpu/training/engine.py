@@ -212,6 +212,7 @@ class T2VTrainer:
             p_zero=float(cfg.get("p_zero", 0.1)),
             zero_y=zero_y,
             state_shardings=state_shardings,
+            prng_impl=cfg.get("prng_impl") or None,
         )
         return self
 
