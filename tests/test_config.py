@@ -64,3 +64,6 @@ def test_shipped_configs_load():
     cfg = load_inference_config("configs/t2v_infer.yaml")
     assert cfg.Diffusion.schedule == "linear_sd"
     assert cfg.UNet.use_lgm_refine is True  # task yaml wins over linked
+    # serving default: cond-row-only refine (measured ≥52.6 dB vs 'full';
+    # scripts/refine_shared_tpu.py) — 'full' restores reference semantics
+    assert cfg.gs_refine_uncond == "shared"

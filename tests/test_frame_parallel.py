@@ -1,0 +1,65 @@
+"""Frame-sharded (sequence-parallel) inference: sharding one sample's frame
+axis over an ``sp`` mesh must be a pure placement change — bit-for-bit-ish
+identical latents to the single-device run, with spatial blocks frame-local
+and GSPMD inserting the temporal collectives (parallel/infer.py).
+
+The reference has no analog (one sample per GPU); this is the TPU-native
+single-sample latency lever.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videomv_tpu.config import load_inference_config
+from videomv_tpu.inference.pipeline import T2VPipeline
+from videomv_tpu.parallel import frame_parallel_mesh, replicate_params, shard_on_axis
+
+
+def test_mesh_picks_divisor():
+    # 8 virtual CPU devices (conftest); 6 frames → largest divisor ≤ 8 is 6
+    mesh = frame_parallel_mesh(6)
+    assert mesh is not None and mesh.shape["sp"] == 6
+    mesh = frame_parallel_mesh(8)
+    assert mesh is not None and mesh.shape["sp"] == 8
+    # 7 frames → 7 devices
+    assert frame_parallel_mesh(7).shape["sp"] == 7
+    # cap by n_devices
+    assert frame_parallel_mesh(8, n_devices=4).shape["sp"] == 4
+    # degenerate: 1 frame → no mesh
+    assert frame_parallel_mesh(1) is None
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    cfg = load_inference_config("configs/t2v_infer_tiny.yaml")
+    pipe = T2VPipeline(cfg, seed=0)
+    pipe.init_params(load=False)
+    return pipe
+
+
+def test_frame_parallel_matches_single_device(tiny_pipe):
+    pipe = tiny_pipe
+    base = pipe.generate("a chair", steps=3, seed=5)
+    fp = pipe.generate("a chair", steps=3, seed=5, frame_parallel=True)
+    assert pipe._sp_mesh is not None and pipe._sp_mesh.shape["sp"] == 8
+    # same math, different placement: fp32 CPU tolerances only allow for
+    # reassociation differences from re-partitioned reductions
+    np.testing.assert_allclose(fp["latents"], base["latents"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(fp["frames"].shape, base["frames"].shape)
+
+
+def test_sharded_forward_layout(tiny_pipe):
+    """The sharded inputs actually shard: noise placed on the sp mesh has
+    one frame-slice shard per device."""
+    pipe = tiny_pipe
+    mesh = frame_parallel_mesh(pipe.max_frames)
+    x = jnp.zeros((1, 4, pipe.max_frames, 4, 4))
+    xs = shard_on_axis(mesh, x, 2)
+    shards = xs.addressable_shards
+    assert len(shards) == mesh.shape["sp"]
+    assert shards[0].data.shape[2] == pipe.max_frames // mesh.shape["sp"]
+    p = replicate_params(mesh, {"w": jnp.ones((3, 3))})
+    assert len(p["w"].addressable_shards) == mesh.shape["sp"]
+    assert p["w"].addressable_shards[0].data.shape == (3, 3)

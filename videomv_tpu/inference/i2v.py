@@ -140,12 +140,18 @@ class I2VPipeline(T2VPipeline):
 
             refine_fn = None
             if with_refine and lgm is not None:
-                from .refine import make_refine_fn
+                from .refine import REFINE_VIEW_IDXS, make_refine_fn
 
-                # the refine path re-runs the I2V UNet with full conditioning
+                # the refine path re-runs the I2V UNet with full conditioning;
+                # size the image rows to the incoming batch — 2b rows in
+                # 'full' uncond mode ([cond; uncond]), b rows in 'shared'
+                # (cond only, so real image conditioning, no zero rows)
                 def unet_apply(p, x2, t2, **kw):
-                    l2 = jnp.concatenate([local, local], axis=0)
-                    i2 = jnp.concatenate([img_emb, zero_img], axis=0)
+                    if x2.shape[0] == b:
+                        l2, i2 = local, img_emb
+                    else:
+                        l2 = jnp.concatenate([local, local], axis=0)
+                        i2 = jnp.concatenate([img_emb, zero_img], axis=0)
                     return unet.apply(p, x2, t2, local_image=l2, image=i2, **kw)
 
                 class _UnetShim:
@@ -157,11 +163,15 @@ class I2VPipeline(T2VPipeline):
                     gs_settings=gs_settings,
                     y=y, zero_y=zero_y, cam=cam, gs_rays=gs_rays,
                     cam_view=cam_view, cam_view_proj=cam_view_proj,
+                    uncond_mode=str(self.cfg.get("gs_refine_uncond", "full")),
+                    view_idxs=tuple(self.cfg.get("gs_refine_views", REFINE_VIEW_IDXS)),
                 )
             return ddim_sample_loop(
                 diffusion, cfg_model, noise,
                 ddim_timesteps=steps, eta=0.0, guide_scale=guide_scale,
-                refine_fn=refine_fn, refine_steps=(20, 30, 40), rng=rng,
+                refine_fn=refine_fn,
+                refine_steps=tuple(self.cfg.get("gs_refine_steps", (20, 30, 40))),
+                rng=rng,
             )
 
         return sample

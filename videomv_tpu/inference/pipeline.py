@@ -47,6 +47,7 @@ from ..models.autoencoder import AutoencoderKL
 from ..models.clip import OpenCLIPTextVisual
 from ..models.lgm import LGM, LGMOptions
 from ..models.unet_t2v import UNetSD_T2VBase
+from ..parallel.infer import frame_parallel_mesh, replicate_params, shard_on_axis
 
 logger = logging.getLogger(__name__)
 
@@ -79,6 +80,7 @@ def unet_kwargs_from_cfg(unet_cfg: dict) -> dict:
         use_fps_condition=m.get("use_fps_condition", False),
         use_camera_condition=m.get("use_camera_condition", True),
         use_checkpoint=m.get("use_checkpoint", False),
+        remat_policy=m.get("remat_policy", "full"),
     )
 
 
@@ -142,6 +144,11 @@ class T2VPipeline:
         self._encode_text_fn = None
         self._camera_cache: Dict[Any, Any] = {}
         self._negative_cache: Dict[str, Any] = {}
+        # frame-parallel (sequence-parallel) serving state, built lazily on
+        # the first generate(frame_parallel=True) call
+        self._sp_tried = False
+        self._sp_mesh = None
+        self._params_sp = None
 
     # ------------------------------------------------------------ params
 
@@ -300,7 +307,7 @@ class T2VPipeline:
 
             refine_fn = None
             if with_refine and lgm is not None:
-                from .refine import make_refine_fn
+                from .refine import REFINE_VIEW_IDXS, make_refine_fn
 
                 refine_fn = make_refine_fn(
                     unet=unet, vae=vae, lgm=lgm, params=params,
@@ -309,11 +316,16 @@ class T2VPipeline:
                     y=y, zero_y=zero_y, cam=cam, gs_rays=gs_rays,
                     cam_view=cam_view, cam_view_proj=cam_view_proj,
                     uncond_mode=str(self.cfg.get("gs_refine_uncond", "full")),
+                    view_idxs=tuple(self.cfg.get("gs_refine_views", REFINE_VIEW_IDXS)),
                 )
             latents = ddim_sample_loop(
                 diffusion, cfg_model, noise,
                 ddim_timesteps=steps, eta=0.0, guide_scale=guide_scale,
-                refine_fn=refine_fn, refine_steps=(20, 30, 40), rng=rng,
+                refine_fn=refine_fn,
+                # refine fires at these loop indices — reference contract
+                # diffusion_ddim.py:256-259 (steps {20,30,40} of 50)
+                refine_steps=tuple(self.cfg.get("gs_refine_steps", (20, 30, 40))),
+                rng=rng,
             )
             return latents
 
@@ -339,7 +351,14 @@ class T2VPipeline:
                 return jnp.round(img * 255.0).astype(jnp.uint8)
 
             self._decode_fn = decode
-        return self._decode_fn(self._params["vae"], latents)
+        vae_params = self._params["vae"]
+        if self._sp_mesh is not None and isinstance(
+            getattr(latents, "sharding", None), jax.sharding.NamedSharding
+        ) and latents.sharding.mesh == self._sp_mesh:
+            # frame-parallel sampling left the latents on the sp mesh: the
+            # decode runs frame-sharded too (jit rejects mixed device sets)
+            vae_params = self._params_sp["vae"]
+        return self._decode_fn(vae_params, latents)
 
     # ---------------------------------------------------------- generate
 
@@ -354,8 +373,16 @@ class T2VPipeline:
         camera_distance: float = 2.0,
         y_words: Optional[jnp.ndarray] = None,
         negative_words: Optional[jnp.ndarray] = None,
+        frame_parallel: bool = False,
     ) -> Dict[str, np.ndarray]:
-        """One prompt → 24 orbit views. Returns frames uint8 [F, H, W, 3]."""
+        """One prompt → 24 orbit views. Returns frames uint8 [F, H, W, 3].
+
+        ``frame_parallel=True`` shards THIS sample's frame axis over all
+        local devices (``parallel/infer.py`` sequence parallelism): spatial
+        blocks run frame-local, GSPMD inserts the cross-frame collectives
+        at the temporal blocks — single-sample latency scaling the
+        reference (one sample per GPU) has no analog of. No-op on one
+        device."""
         assert self._params, "call init_params() first"
         cfg = self.cfg
         guide_scale = guide_scale if guide_scale is not None else float(cfg.get("guide_scale", 9.0))
@@ -380,12 +407,33 @@ class T2VPipeline:
         h, w = self.latent_hw
         noise = jax.random.normal(noise_rng, (1, 4, self.max_frames, h, w))
 
+        params = self._params
+        if frame_parallel:
+            if not self._sp_tried:
+                self._sp_tried = True
+                self._sp_mesh = frame_parallel_mesh(self.max_frames)
+                if self._sp_mesh is not None:
+                    self._params_sp = replicate_params(self._sp_mesh, params)
+            if self._sp_mesh is not None:
+                # placement is the annotation: the SAME jitted sampler
+                # recompiles once for the sharded input layout. Every input
+                # must live on the mesh (jit rejects mixed device sets), so
+                # the non-frame args are replicated.
+                params = self._params_sp
+                noise = shard_on_axis(self._sp_mesh, noise, 2)
+                cam = shard_on_axis(self._sp_mesh, cam, 1)
+                gs_rays = shard_on_axis(self._sp_mesh, gs_rays, 1)
+                y_words, negative_words, gs_cv, gs_cvp, sample_rng = replicate_params(
+                    self._sp_mesh,
+                    (y_words, negative_words, gs_cv, gs_cvp, sample_rng),
+                )
+
         key = (steps, guide_scale, use_gs_refine, 1)
         if key not in self._samplers:
             self._samplers[key] = self._build_sampler(steps, guide_scale, use_gs_refine)
 
         latents = self._samplers[key](
-            self._params, noise, y_words, negative_words, cam,
+            params, noise, y_words, negative_words, cam,
             gs_rays, gs_cv, gs_cvp, sample_rng,
         )
         frames = self._decode_latents(latents)

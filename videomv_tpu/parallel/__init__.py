@@ -1,3 +1,4 @@
+from .infer import frame_parallel_mesh, replicate_params, shard_on_axis
 from .mesh import (
     fsdp_shardings, init_distributed, make_mesh, replicate, shard_batch,
 )
@@ -18,4 +19,7 @@ __all__ = [
     "make_t2v_apply",
     "make_i2v_apply",
     "TrainState",
+    "frame_parallel_mesh",
+    "replicate_params",
+    "shard_on_axis",
 ]
