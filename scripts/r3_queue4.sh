@@ -14,7 +14,9 @@ timeout 5400 python scripts/psnr_vs_reference.py --self_consistency > workspace/
 echo "psnr_drift exit=$?" >> workspace/logs/psnr_drift_r3.log
 timeout 5400 python scripts/i2v_e2e_tpu.py > workspace/logs/i2v_e2e_r3.log 2>&1
 echo "i2v exit=$?" >> workspace/logs/i2v_e2e_r3.log
-# retry: first attempt died on a tunnel remote_compile outage (batch_tp_r3.log)
+# retries: first attempts died on a ~19:00-19:30 tunnel outage
 timeout 5400 python scripts/batch_throughput_tpu.py > workspace/logs/batch_tp_r3b.log 2>&1
 echo "batch_tp exit=$?" >> workspace/logs/batch_tp_r3b.log
+timeout 3600 python scripts/train_smoke_lgm512_tpu.py > workspace/logs/lgm512_r3b.log 2>&1
+echo "lgm512 exit=$?" >> workspace/logs/lgm512_r3b.log
 echo ALL DONE
