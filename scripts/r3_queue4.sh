@@ -19,4 +19,10 @@ timeout 5400 python scripts/batch_throughput_tpu.py > workspace/logs/batch_tp_r3
 echo "batch_tp exit=$?" >> workspace/logs/batch_tp_r3b.log
 timeout 3600 python scripts/train_smoke_lgm512_tpu.py > workspace/logs/lgm512_r3b.log 2>&1
 echo "lgm512 exit=$?" >> workspace/logs/lgm512_r3b.log
+# refine e2e with the now-shipped shared default + same-day plain control
+timeout 3600 python scripts/refine_e2e_tpu.py > workspace/logs/refine_e2e_r3d.log 2>&1
+echo "refine exit=$?" >> workspace/logs/refine_e2e_r3d.log
+# full suite on the final round-3 tree
+timeout 3600 python -m pytest tests/ -q > workspace/logs/pytest_r3_final.log 2>&1
+echo "pytest_final exit=$?" >> workspace/logs/pytest_r3_final.log
 echo ALL DONE
