@@ -73,10 +73,15 @@ def main():
     rounds = 1 if args.debug else int(cfg.get("round", 1))
     steps = int(cfg.get("ddim_timesteps", 50))
 
+    # frame_parallel: true shards each sample's frame axis over all local
+    # devices (sequence-parallel serving, parallel/infer.py); no-op on one
+    fp = bool(cfg.get("frame_parallel", False))
+
     def run(item, seed, refine):
         if is_i2v:
             return pipe.generate_from_image(item, steps=steps, use_gs_refine=refine, seed=seed)
-        return pipe.generate(item, steps=steps, use_gs_refine=refine, seed=seed)
+        return pipe.generate(item, steps=steps, use_gs_refine=refine, seed=seed,
+                             frame_parallel=fp)
 
     for r in range(rounds):
         for idx, item in enumerate(items):
