@@ -59,8 +59,12 @@ def _grads(model, scene, prng_impl=None):
     def loss_fn(p, rng):
         t_rng, n_rng, d_rng = jax.random.split(rng, 3)
         if prng_impl:
-            d_seed = jax.random.randint(d_rng, (), 0, jnp.iinfo(jnp.int32).max)
-            d_rng = jax.random.key(d_seed, impl=prng_impl)
+            kd = jax.random.bits(
+                d_rng,
+                jax.random.key_data(jax.random.key(0, impl=prng_impl)).shape,
+                dtype=jnp.uint32,
+            )
+            d_rng = jax.random.wrap_key_data(kd, impl=prng_impl)
         t = jax.random.randint(t_rng, (latents.shape[0],), 0, diffusion.num_timesteps)
 
         def model_fn(xt, ts):

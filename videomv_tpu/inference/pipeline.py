@@ -22,9 +22,11 @@ the pipeline runs with random init (shape-true, used for perf benches).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 import logging
+import os
 import time
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -50,6 +52,33 @@ from ..models.unet_t2v import UNetSD_T2VBase
 from ..parallel.infer import frame_parallel_mesh, replicate_params, shard_on_axis
 
 logger = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def _pallas_kernels_disabled(enabled: bool = True):
+    """Trace-time guard: the Pallas custom calls (flash attention, fused
+    GEGLU-FFN) carry no GSPMD partitioning rules, so programs traced over a
+    sharded mesh must take the XLA paths (which GSPMD shards fine). The env
+    flags are consulted only while tracing; cached executables keep whatever
+    they were traced with."""
+    if not enabled:
+        yield
+        return
+    on = ("VIDEOMV_DISABLE_PALLAS_ATTN", "VIDEOMV_DISABLE_FUSED_FFN")
+    off = ("VIDEOMV_ENABLE_FUSED_SPATIAL",)
+    prev = {f: os.environ.get(f) for f in on + off}
+    for f in on:
+        os.environ[f] = "1"
+    for f in off:
+        os.environ.pop(f, None)
+    try:
+        yield
+    finally:
+        for f, v in prev.items():
+            if v is None:
+                os.environ.pop(f, None)
+            else:
+                os.environ[f] = v
 
 
 def unet_kwargs_from_cfg(unet_cfg: dict) -> dict:
@@ -145,10 +174,12 @@ class T2VPipeline:
         self._camera_cache: Dict[Any, Any] = {}
         self._negative_cache: Dict[str, Any] = {}
         # frame-parallel (sequence-parallel) serving state, built lazily on
-        # the first generate(frame_parallel=True) call
+        # the first generate(frame_parallel=True) call; _params_sp/_sp_cache
+        # invalidate on (re)loading weights
         self._sp_tried = False
         self._sp_mesh = None
         self._params_sp = None
+        self._sp_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------ params
 
@@ -178,6 +209,7 @@ class T2VPipeline:
             lgm_in = jnp.zeros((1, 4, 9, self.gs_settings.input_size, self.gs_settings.input_size))
             self._params["lgm"] = jax.jit(self.lgm.init)(r4, lgm_in)
         logger.info("param init took %.1fs", time.time() - t0)
+        self._params_sp = None  # fresh params invalidate the sp snapshot
 
         if load:
             self.load_weights()
@@ -233,6 +265,8 @@ class T2VPipeline:
                     f"{report['mismatched'][:3]}. Set min_matched_fraction in "
                     "the config to override."
                 )
+        # new weights invalidate the frame-parallel replicated snapshot
+        self._params_sp = None
 
     # ---------------------------------------------------------- builders
 
@@ -407,35 +441,60 @@ class T2VPipeline:
         h, w = self.latent_hw
         noise = jax.random.normal(noise_rng, (1, 4, self.max_frames, h, w))
 
+        if frame_parallel and use_gs_refine:
+            # the Pallas splat rasterizer has no sharding rules — a
+            # frame-sharded refine would all-gather (or fail to partition)
+            # inside every refine step. Until the splat kernel grows a
+            # shard_map wrapper, refine runs single-device.
+            logger.warning("frame_parallel + use_gs_refine unsupported; "
+                           "running single-device")
+            frame_parallel = False
+
         params = self._params
+        sp = None
         if frame_parallel:
             if not self._sp_tried:
                 self._sp_tried = True
                 self._sp_mesh = frame_parallel_mesh(self.max_frames)
-                if self._sp_mesh is not None:
-                    self._params_sp = replicate_params(self._sp_mesh, params)
             if self._sp_mesh is not None:
+                sp = self._sp_mesh
+                if self._params_sp is None:
+                    self._params_sp = replicate_params(sp, self._params)
                 # placement is the annotation: the SAME jitted sampler
                 # recompiles once for the sharded input layout. Every input
                 # must live on the mesh (jit rejects mixed device sets), so
-                # the non-frame args are replicated.
+                # the non-frame args are replicated. Orbit constants (the
+                # 37 MB rays above all) are resharded once per orbit, not
+                # per call.
                 params = self._params_sp
-                noise = shard_on_axis(self._sp_mesh, noise, 2)
-                cam = shard_on_axis(self._sp_mesh, cam, 1)
-                gs_rays = shard_on_axis(self._sp_mesh, gs_rays, 1)
-                y_words, negative_words, gs_cv, gs_cvp, sample_rng = replicate_params(
-                    self._sp_mesh,
-                    (y_words, negative_words, gs_cv, gs_cvp, sample_rng),
-                )
+                neg = cfg.get("negative_prompt", "")
+                ck = ("sp", self.max_frames, float(elevation),
+                      float(camera_distance), neg)
+                cached = self._sp_cache.get(ck)
+                if cached is None:
+                    cached = (
+                        shard_on_axis(sp, cam, 1),
+                        shard_on_axis(sp, gs_rays, 1),
+                        *replicate_params(sp, (gs_cv, gs_cvp, negative_words)),
+                    )
+                    self._sp_cache[ck] = cached
+                cam, gs_rays, gs_cv, gs_cvp, negative_words = cached
+                noise = shard_on_axis(sp, noise, 2)
+                y_words, sample_rng = replicate_params(sp, (y_words, sample_rng))
 
         key = (steps, guide_scale, use_gs_refine, 1)
         if key not in self._samplers:
             self._samplers[key] = self._build_sampler(steps, guide_scale, use_gs_refine)
 
-        latents = self._samplers[key](
-            params, noise, y_words, negative_words, cam,
-            gs_rays, gs_cv, gs_cvp, sample_rng,
-        )
+        with _pallas_kernels_disabled(enabled=sp is not None):
+            # Pallas custom calls (flash-attn, fused FFN) carry no GSPMD
+            # partitioning rules; tracing the frame-sharded layout must take
+            # the XLA paths instead (the env guards are read at trace time
+            # only — already-compiled executables are unaffected)
+            latents = self._samplers[key](
+                params, noise, y_words, negative_words, cam,
+                gs_rays, gs_cv, gs_cvp, sample_rng,
+            )
         frames = self._decode_latents(latents)
         frames_np = np.asarray(frames[0])
         return {"frames": frames_np, "latents": np.asarray(latents)}

@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import make_mesh
+from .mesh import make_mesh, replicate
 
 __all__ = ["frame_parallel_mesh", "shard_on_axis", "replicate_params"]
 
@@ -55,9 +55,7 @@ def shard_on_axis(mesh: Mesh, x, dim: int, axis: str = "sp"):
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
 
-def replicate_params(mesh: Mesh, params):
-    """Replicate a param pytree over the mesh (weights live everywhere —
-    the activations are what shard; this is sequence, not tensor,
-    parallelism)."""
-    sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), params)
+# Weights (and any other non-frame arrays) live everywhere — the
+# activations are what shard; this is sequence, not tensor, parallelism.
+# Same semantics as mesh.replicate; exported under the serving-side name.
+replicate_params = replicate

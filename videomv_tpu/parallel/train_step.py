@@ -108,10 +108,15 @@ def build_train_step(
         b = latents.shape[0]
         t_rng, n_rng, z_rng, d_rng = jax.random.split(rng, 4)
         if prng_impl:
-            # re-seat the dropout stream on a faster generator; the seed
-            # itself still derives deterministically from the step rng
-            d_seed = jax.random.randint(d_rng, (), 0, jnp.iinfo(jnp.int32).max)
-            d_rng = jax.random.key(d_seed, impl=prng_impl)
+            # re-seat the dropout stream on a faster generator; the key
+            # material derives deterministically from the step rng at full
+            # width (an int32 seed would cap the run at 2^31 distinct
+            # dropout streams — birthday collisions by ~50k steps)
+            kd = jax.random.bits(
+                d_rng, jax.random.key_data(jax.random.key(0, impl=prng_impl)).shape,
+                dtype=jnp.uint32,
+            )
+            d_rng = jax.random.wrap_key_data(kd, impl=prng_impl)
         t = jax.random.randint(t_rng, (b,), 0, diffusion.num_timesteps)
 
         # classifier-free dropout: dropped rows become the negative-prompt
