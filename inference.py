@@ -76,14 +76,11 @@ def main():
     # frame_parallel: true shards each sample's frame axis over all local
     # devices (sequence-parallel serving, parallel/infer.py); no-op on one
     fp = bool(cfg.get("frame_parallel", False))
-    if fp and is_i2v:
-        logging.warning("frame_parallel is not wired for the I2V engine yet; "
-                        "running single-device")
-        fp = False
 
     def run(item, seed, refine):
         if is_i2v:
-            return pipe.generate_from_image(item, steps=steps, use_gs_refine=refine, seed=seed)
+            return pipe.generate_from_image(item, steps=steps, use_gs_refine=refine,
+                                            seed=seed, frame_parallel=fp)
         return pipe.generate(item, steps=steps, use_gs_refine=refine, seed=seed,
                              frame_parallel=fp)
 

@@ -122,3 +122,17 @@ def test_i2v_refine_full_mode_e2e(probe_image):
     )
     assert ref["frames"].shape == (8, SIZE, SIZE, 3)
     assert np.isfinite(ref["latents"]).all()
+
+
+def test_i2v_frame_parallel_matches_single_device(pipe_shared, probe_image):
+    """Frame-sharded I2V sampling (8 frames over the 8-device CPU mesh) is a
+    pure placement change vs the single-device run."""
+    base = pipe_shared.generate_from_image(probe_image, steps=STEPS, seed=7)
+    fp = pipe_shared.generate_from_image(
+        probe_image, steps=STEPS, seed=7, frame_parallel=True
+    )
+    assert pipe_shared._sp_mesh is not None
+    assert pipe_shared._sp_mesh.shape["sp"] == 8
+    np.testing.assert_allclose(
+        fp["latents"], base["latents"], rtol=2e-4, atol=2e-5
+    )

@@ -24,7 +24,8 @@ from ..data.tokenizer import tokenize
 from ..diffusion.samplers import ddim_sample_loop
 from ..models.clip import VIT_MEAN, VIT_STD
 from ..models.unet_i2v import UNetSD_I2VGen
-from .pipeline import T2VPipeline, unet_kwargs_from_cfg
+from ..parallel.infer import frame_parallel_mesh, replicate_params, shard_on_axis
+from .pipeline import T2VPipeline, _pallas_kernels_disabled, unet_kwargs_from_cfg
 
 logger = logging.getLogger(__name__)
 
@@ -187,6 +188,7 @@ class I2VPipeline(T2VPipeline):
         seed: Optional[int] = None,
         elevation: float = 15.0,
         camera_distance: float = 2.0,
+        frame_parallel: bool = False,
     ) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         guide_scale = guide_scale if guide_scale is not None else float(cfg.get("guide_scale", 6.0))
@@ -204,21 +206,50 @@ class I2VPipeline(T2VPipeline):
             orbit_c2w_opengl(self.max_frames, elevation, camera_distance),
             self.gs_settings, ray_size=self.gs_settings.input_size,
         )
+        gs_rays = jnp.asarray(gs["input_rays"])
+        gs_cv = jnp.asarray(gs["cam_view"])
+        gs_cvp = jnp.asarray(gs["cam_view_proj"])
 
         rng = jax.random.PRNGKey(seed)
         noise_rng, sample_rng = jax.random.split(rng)
         h, w = self.latent_hw
         noise = jax.random.normal(noise_rng, (1, 4, self.max_frames, h, w))
 
+        if frame_parallel and use_gs_refine:
+            logger.warning("frame_parallel + use_gs_refine unsupported; "
+                           "running single-device")
+            frame_parallel = False
+
+        # frame-sharded (sequence-parallel) serving — same placement scheme
+        # as T2VPipeline.generate; see videomv_tpu/parallel/infer.py
+        params = self._params
+        sp = None
+        if frame_parallel:
+            if not self._sp_tried:
+                self._sp_tried = True
+                self._sp_mesh = frame_parallel_mesh(self.max_frames)
+            if self._sp_mesh is not None:
+                sp = self._sp_mesh
+                if self._params_sp is None:
+                    self._params_sp = replicate_params(sp, self._params)
+                params = self._params_sp
+                noise = shard_on_axis(sp, noise, 2)
+                cam = shard_on_axis(sp, cam, 1)
+                gs_rays = shard_on_axis(sp, gs_rays, 1)
+                (y_words, neg, local, y_visual, zero_img, gs_cv, gs_cvp,
+                 sample_rng) = replicate_params(
+                    sp, (y_words, neg, local, y_visual, zero_img, gs_cv,
+                         gs_cvp, sample_rng))
+
         key = ("i2v", steps, guide_scale, use_gs_refine)
         if key not in self._samplers:
             self._samplers[key] = self._build_sampler_i2v(steps, guide_scale, use_gs_refine)
 
-        latents = self._samplers[key](
-            self._params, noise, y_words, neg, cam, local, y_visual, zero_img,
-            jnp.asarray(gs["input_rays"]), jnp.asarray(gs["cam_view"]),
-            jnp.asarray(gs["cam_view_proj"]), sample_rng,
-        )
+        with _pallas_kernels_disabled(enabled=sp is not None):
+            latents = self._samplers[key](
+                params, noise, y_words, neg, cam, local, y_visual, zero_img,
+                gs_rays, gs_cv, gs_cvp, sample_rng,
+            )
         frames = self._decode_latents(latents)
         frames_np = np.asarray(frames[0])
         return {"frames": frames_np, "latents": np.asarray(latents)}
