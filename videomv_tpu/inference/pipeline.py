@@ -179,6 +179,7 @@ class T2VPipeline:
         self._sp_tried = False
         self._sp_mesh = None
         self._params_sp = None
+        self._params_dp = None
         self._sp_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------ params
@@ -209,7 +210,8 @@ class T2VPipeline:
             lgm_in = jnp.zeros((1, 4, 9, self.gs_settings.input_size, self.gs_settings.input_size))
             self._params["lgm"] = jax.jit(self.lgm.init)(r4, lgm_in)
         logger.info("param init took %.1fs", time.time() - t0)
-        self._params_sp = None  # fresh params invalidate the sp snapshot
+        self._params_sp = None  # fresh params invalidate the mesh snapshots
+        self._params_dp = None
 
         if load:
             self.load_weights()
@@ -265,8 +267,9 @@ class T2VPipeline:
                     f"{report['mismatched'][:3]}. Set min_matched_fraction in "
                     "the config to override."
                 )
-        # new weights invalidate the frame-parallel replicated snapshot
+        # new weights invalidate the mesh-replicated param snapshots
         self._params_sp = None
+        self._params_dp = None
 
     # ---------------------------------------------------------- builders
 
@@ -386,12 +389,15 @@ class T2VPipeline:
 
             self._decode_fn = decode
         vae_params = self._params["vae"]
-        if self._sp_mesh is not None and isinstance(
-            getattr(latents, "sharding", None), jax.sharding.NamedSharding
-        ) and latents.sharding.mesh == self._sp_mesh:
-            # frame-parallel sampling left the latents on the sp mesh: the
-            # decode runs frame-sharded too (jit rejects mixed device sets)
-            vae_params = self._params_sp["vae"]
+        sh = getattr(latents, "sharding", None)
+        if isinstance(sh, jax.sharding.NamedSharding):
+            # mesh-sharded sampling (frame-parallel or dp batch) left the
+            # latents on a mesh: decode with the mesh-resident vae params
+            # so the program shards instead of mixing device sets
+            if self._params_sp is not None and sh.mesh == self._sp_mesh:
+                vae_params = self._params_sp["vae"]
+            elif self._params_dp is not None:
+                vae_params = self._params_dp["vae"]
         return self._decode_fn(vae_params, latents)
 
     # ---------------------------------------------------------- generate
@@ -543,6 +549,8 @@ class T2VPipeline:
         noise = jax.random.normal(noise_rng, (b, 4, self.max_frames, h, w))
 
         b_run = b
+        params = self._params
+        dp_mesh = None
         if data_parallel and jax.device_count() > 1:
             n = jax.device_count()
             pad = (-b) % n
@@ -556,20 +564,38 @@ class T2VPipeline:
                 noise, y_words = _pad(noise), _pad(y_words)
                 zero_y, cam = _pad(zero_y), _pad(cam)
                 b_run = b + pad
-            mesh = make_mesh()
-            sharded = shard_batch(mesh, {"noise": noise, "y": y_words,
-                                         "zero_y": zero_y, "cam": cam})
+            dp_mesh = make_mesh()
+            sharded = shard_batch(dp_mesh, {"noise": noise, "y": y_words,
+                                            "zero_y": zero_y, "cam": cam})
             noise, y_words = sharded["noise"], sharded["y"]
             zero_y, cam = sharded["zero_y"], sharded["cam"]
+            # weights and orbit constants live on the mesh too — explicit
+            # one-time placement instead of a per-call implicit transfer of
+            # the 2.8 GB param tree at dispatch
+            if self._params_dp is None:
+                self._params_dp = replicate_params(dp_mesh, self._params)
+            params = self._params_dp
+            neg_k = cfg.get("negative_prompt", "")
+            ck = ("dp", self.max_frames, float(elevation),
+                  float(camera_distance), neg_k)
+            cached = self._sp_cache.get(ck)
+            if cached is None:
+                cached = replicate_params(dp_mesh, (gs_rays, gs_cv, gs_cvp))
+                self._sp_cache[ck] = cached
+            gs_rays, gs_cv, gs_cvp = cached
+            sample_rng = replicate_params(dp_mesh, sample_rng)
 
         key = (steps, guide_scale, use_gs_refine, b_run)
         if key not in self._samplers:
             self._samplers[key] = self._build_sampler(
                 steps, guide_scale, use_gs_refine, b=b_run)
-        latents = self._samplers[key](
-            self._params, noise, y_words, zero_y, cam,
-            gs_rays, gs_cv, gs_cvp, sample_rng,
-        )
+        with _pallas_kernels_disabled(enabled=dp_mesh is not None):
+            # same trace-time rule as frame-parallel: Pallas custom calls
+            # can't be GSPMD-partitioned, batch-dim sharding included
+            latents = self._samplers[key](
+                params, noise, y_words, zero_y, cam,
+                gs_rays, gs_cv, gs_cvp, sample_rng,
+            )
         frames = self._decode_latents(latents)
         frames_np = np.asarray(frames)
         return {"frames": frames_np[:b], "latents": np.asarray(latents)[:b]}
