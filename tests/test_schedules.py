@@ -55,6 +55,52 @@ def test_zero_terminal_snr():
     assert math.isclose(acp[0], (1 - raw[0]), rel_tol=1e-9)
 
 
+def test_zero_terminal_snr_ddim_includes_t_max():
+    """DDIM step sequences that include t = T-1 (any ddim_timesteps that
+    doesn't divide T, e.g. 3 of 1000 → [999, 667, 334, 1]) must stay finite
+    under zero-terminal-SNR: alphas_cumprod[T-1] == 0 makes the raw
+    reciprocal tables inf and x0_to_eps NaN (a latent reference bug — its
+    shipped 50-step configs never sample t=999). The clamped reciprocals
+    recover the exact limit eps -> xt instead."""
+    import jax
+    import jax.numpy as jnp
+
+    from videomv_tpu.diffusion import GaussianDiffusion
+    from videomv_tpu.diffusion.samplers import ddim_sample_loop, ddim_timestep_seq
+
+    d = GaussianDiffusion(
+        schedule="cosine",
+        schedule_param=dict(num_timesteps=1000, cosine_s=0.008,
+                            zero_terminal_snr=True),
+        mean_type="v", var_type="fixed_small",
+    )
+    p = d.params
+    assert np.isfinite(np.asarray(p.sqrt_recip_alphas_cumprod)).all()
+    assert np.isfinite(np.asarray(p.sqrt_recipm1_alphas_cumprod)).all()
+    # non-terminal entries match the unclamped math (clamp at 1e-12 is a
+    # no-op for every acp >= 1e-12; tolerance only covers re-deriving acp
+    # from the f32-stored betas here)
+    acp = np.cumprod(1 - np.asarray(p.betas, dtype=np.float64))
+    np.testing.assert_allclose(
+        np.asarray(p.sqrt_recip_alphas_cumprod)[:-1],
+        np.sqrt(1.0 / acp[:-1]),
+        rtol=1e-6,
+    )
+    # the terminal-limit algebra: x0_to_eps -> xt as acp -> 0
+    xt = jnp.ones((1, 2, 2))
+    t = jnp.full((1,), 999, jnp.int32)
+    eps = d.x0_to_eps(jnp.zeros_like(xt), xt, t)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(xt), rtol=1e-5)
+
+    assert 999 in ddim_timestep_seq(1000, 3)
+    out = ddim_sample_loop(
+        d, lambda x, tt: (jnp.zeros_like(x), jnp.zeros_like(x)),
+        jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 4, 4)),
+        ddim_timesteps=3, guide_scale=6.0, rng=jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_rescale_noop_shapes():
     betas = linear_sd_schedule(100, 0.001, 0.02)
     out = rescale_zero_terminal_snr(betas)
