@@ -136,3 +136,20 @@ def test_i2v_frame_parallel_matches_single_device(pipe_shared, probe_image):
     np.testing.assert_allclose(
         fp["latents"], base["latents"], rtol=2e-4, atol=2e-5
     )
+
+
+def test_i2v_frame_parallel_with_refine(pipe_shared, probe_image):
+    """fp + GS refine: the splat render runs as a shard_map over the view
+    axis (each device rasterizes its local views); result must match the
+    single-device refined run."""
+    base = pipe_shared.generate_from_image(
+        probe_image, steps=STEPS, use_gs_refine=True, seed=9
+    )
+    fp = pipe_shared.generate_from_image(
+        probe_image, steps=STEPS, use_gs_refine=True, seed=9,
+        frame_parallel=True,
+    )
+    assert np.isfinite(fp["latents"]).all()
+    np.testing.assert_allclose(
+        fp["latents"], base["latents"], rtol=5e-4, atol=5e-5
+    )

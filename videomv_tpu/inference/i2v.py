@@ -116,7 +116,8 @@ class I2VPipeline(T2VPipeline):
 
     # ------------------------------------------------------------- sampler
 
-    def _build_sampler_i2v(self, steps: int, guide_scale: float, with_refine: bool):
+    def _build_sampler_i2v(self, steps: int, guide_scale: float, with_refine: bool,
+                           view_mesh=None):
         unet, vae, lgm = self.unet, self.vae, self.lgm
         b = 1
         sf = self.scale_factor
@@ -166,6 +167,7 @@ class I2VPipeline(T2VPipeline):
                     cam_view=cam_view, cam_view_proj=cam_view_proj,
                     uncond_mode=str(self.cfg.get("gs_refine_uncond", "full")),
                     view_idxs=tuple(self.cfg.get("gs_refine_views", REFINE_VIEW_IDXS)),
+                    view_mesh=view_mesh,
                 )
             return ddim_sample_loop(
                 diffusion, cfg_model, noise,
@@ -215,11 +217,6 @@ class I2VPipeline(T2VPipeline):
         h, w = self.latent_hw
         noise = jax.random.normal(noise_rng, (1, 4, self.max_frames, h, w))
 
-        if frame_parallel and use_gs_refine:
-            logger.warning("frame_parallel + use_gs_refine unsupported; "
-                           "running single-device")
-            frame_parallel = False
-
         # frame-sharded (sequence-parallel) serving — same placement scheme
         # as T2VPipeline.generate; see videomv_tpu/parallel/infer.py
         params = self._params
@@ -241,9 +238,11 @@ class I2VPipeline(T2VPipeline):
                     sp, (y_words, neg, local, y_visual, zero_img, gs_cv,
                          gs_cvp, sample_rng))
 
-        key = ("i2v", steps, guide_scale, use_gs_refine)
+        key = ("i2v", steps, guide_scale, use_gs_refine, sp is not None)
         if key not in self._samplers:
-            self._samplers[key] = self._build_sampler_i2v(steps, guide_scale, use_gs_refine)
+            self._samplers[key] = self._build_sampler_i2v(
+                steps, guide_scale, use_gs_refine,
+                view_mesh=sp if use_gs_refine else None)
 
         with _pallas_kernels_disabled(enabled=sp is not None):
             latents = self._samplers[key](

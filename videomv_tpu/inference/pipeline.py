@@ -319,9 +319,10 @@ class T2VPipeline:
         return cached
 
     def _build_sampler(self, steps: int, guide_scale: float, with_refine: bool,
-                       b: int = 1):
+                       b: int = 1, view_mesh=None):
         """Compile the full sampling program once per (steps, guidance,
-        refine, batch).
+        refine, batch[, frame-parallel mesh — the refine's splat render
+        needs an explicit shard_map over the view axis]).
 
         Model params are explicit jit arguments — closing over them would
         bake gigabytes of weights into the program as constants and multiply
@@ -354,6 +355,7 @@ class T2VPipeline:
                     cam_view=cam_view, cam_view_proj=cam_view_proj,
                     uncond_mode=str(self.cfg.get("gs_refine_uncond", "full")),
                     view_idxs=tuple(self.cfg.get("gs_refine_views", REFINE_VIEW_IDXS)),
+                    view_mesh=view_mesh,
                 )
             latents = ddim_sample_loop(
                 diffusion, cfg_model, noise,
@@ -447,15 +449,6 @@ class T2VPipeline:
         h, w = self.latent_hw
         noise = jax.random.normal(noise_rng, (1, 4, self.max_frames, h, w))
 
-        if frame_parallel and use_gs_refine:
-            # the Pallas splat rasterizer has no sharding rules — a
-            # frame-sharded refine would all-gather (or fail to partition)
-            # inside every refine step. Until the splat kernel grows a
-            # shard_map wrapper, refine runs single-device.
-            logger.warning("frame_parallel + use_gs_refine unsupported; "
-                           "running single-device")
-            frame_parallel = False
-
         params = self._params
         sp = None
         if frame_parallel:
@@ -488,9 +481,14 @@ class T2VPipeline:
                 noise = shard_on_axis(sp, noise, 2)
                 y_words, sample_rng = replicate_params(sp, (y_words, sample_rng))
 
-        key = (steps, guide_scale, use_gs_refine, 1)
+        # the refine branch's program differs under frame-parallel (the
+        # splat render becomes an explicit shard_map over the view axis),
+        # so the sampler cache keys on the mesh too
+        key = (steps, guide_scale, use_gs_refine, 1, sp is not None)
         if key not in self._samplers:
-            self._samplers[key] = self._build_sampler(steps, guide_scale, use_gs_refine)
+            self._samplers[key] = self._build_sampler(
+                steps, guide_scale, use_gs_refine,
+                view_mesh=sp if use_gs_refine else None)
 
         with _pallas_kernels_disabled(enabled=sp is not None):
             # Pallas custom calls (flash-attn, fused FFN) carry no GSPMD
@@ -551,6 +549,13 @@ class T2VPipeline:
         b_run = b
         params = self._params
         dp_mesh = None
+        if data_parallel and use_gs_refine:
+            # the refine's splat render is a custom call; under batch-dim
+            # sharding it needs a batch-axis shard_map nobody has measured
+            # a need for yet — run the refined batch on one device
+            logger.warning("generate_batch: data_parallel + use_gs_refine "
+                           "unsupported; running single-device")
+            data_parallel = False
         if data_parallel and jax.device_count() > 1:
             n = jax.device_count()
             pad = (-b) % n
@@ -585,7 +590,7 @@ class T2VPipeline:
             gs_rays, gs_cv, gs_cvp = cached
             sample_rng = replicate_params(dp_mesh, sample_rng)
 
-        key = (steps, guide_scale, use_gs_refine, b_run)
+        key = (steps, guide_scale, use_gs_refine, b_run, False)
         if key not in self._samplers:
             self._samplers[key] = self._build_sampler(
                 steps, guide_scale, use_gs_refine, b=b_run)

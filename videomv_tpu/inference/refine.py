@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.cameras import GSCameraSettings
-from ..ops.gaussian_splat import render_gaussians
+from ..ops.gaussian_splat import render_gaussians, render_gaussians_view_sharded
 
 # imagenet normalization used for the LGM input (reference unet_t2v.py:383-385)
 _VID_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
@@ -54,6 +54,7 @@ def make_refine_fn(
     splat_backend: str = "auto",
     uncond_mode: str = "full",
     view_idxs: tuple = REFINE_VIEW_IDXS,
+    view_mesh=None,
 ) -> Callable:
     """Build ``refine_fn(xt, t) -> (cond_latent_x0, uncond_latent_x0)``.
 
@@ -72,6 +73,11 @@ def make_refine_fn(
         collapses the CFG lerp to the cond refine. Halves the refine-step
         cost (1 UNet row, 4 decodes, 1 LGM scene, V renders, V encodes).
         Opt-in via config ``gs_refine_uncond: shared``.
+
+    ``view_mesh``: frame-parallel serving mesh (``sp`` axis). When set, the
+    splat render runs view-sharded via ``shard_map`` — each device
+    rasterizes its local V/n views with the scene replicated — because the
+    Pallas rasterizer is a custom call GSPMD cannot partition on its own.
     """
     idxs = jnp.asarray(view_idxs, dtype=jnp.int32)
     in_size = gs_settings.input_size
@@ -121,10 +127,12 @@ def make_refine_fn(
         cv = jnp.broadcast_to(cam_view, (b2,) + cam_view.shape[1:])
         cvp = jnp.broadcast_to(cam_view_proj, (b2,) + cam_view_proj.shape[1:])
         bg = jnp.full((3,), 0.5, jnp.float32)  # infer() bg_color_factor=0.5
-        out = render_gaussians(
-            gaussians, cv, cvp, bg_color=bg, img_size=out_size,
-            fovy_deg=gs_settings.fovy, backend=splat_backend, packed=True,
-        )
+        rkw = dict(bg_color=bg, img_size=out_size, fovy_deg=gs_settings.fovy,
+                   backend=splat_backend, packed=True)
+        if view_mesh is not None:
+            out = render_gaussians_view_sharded(view_mesh, gaussians, cv, cvp, **rkw)
+        else:
+            out = render_gaussians(gaussians, cv, cvp, **rkw)
         renders = out["image"]  # [2b, V, 3, out, out]
 
         # downsample to the diffusion resolution, scale to [-1, 1], encode

@@ -334,3 +334,45 @@ def render_gaussians(
 
     imgs, alphas, depths = jax.vmap(per_batch)(gaussians, cam_view, cam_view_proj)
     return {"image": imgs, "alpha": alphas, "depth": depths}
+
+
+def render_gaussians_view_sharded(
+    mesh,
+    gaussians: jnp.ndarray,  # [B, N, 14]
+    cam_view: jnp.ndarray,  # [B, V, 4, 4]
+    cam_view_proj: jnp.ndarray,  # [B, V, 4, 4]
+    axis: str = "sp",
+    **kwargs,
+) -> Dict[str, jnp.ndarray]:
+    """``render_gaussians`` with the VIEW axis sharded over ``mesh[axis]``.
+
+    The rasterizer (Pallas on TPU) is a custom call with no GSPMD
+    partitioning rules, so under a sharded program plain XLA either fails
+    to partition it or replicates all V views onto every device.
+    ``shard_map`` makes the split explicit instead: the scene (gaussians)
+    is replicated, each device rasterizes only its V/n local views, and the
+    outputs come back view-sharded — the layout the frame-parallel sampler
+    already keeps its activations in. V must divide by the mesh axis (the
+    frame-parallel mesh guarantees it: V == num_frames).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:  # jax>=0.6 stable name, older experimental fallback
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local(g, cv, cvp):
+        return render_gaussians(g, cv, cvp, **kwargs)
+
+    # check_vma off: the inner rasterizer's scans mix replicated (scene)
+    # and varying (per-view) values in one carry, which the varying-type
+    # checker rejects even though the program is correct per-shard
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis)),
+        out_specs={"image": P(None, axis), "alpha": P(None, axis),
+                   "depth": P(None, axis)},
+        check_vma=False,
+    )(gaussians, cam_view, cam_view_proj)
