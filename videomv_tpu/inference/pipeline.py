@@ -319,10 +319,12 @@ class T2VPipeline:
         return cached
 
     def _build_sampler(self, steps: int, guide_scale: float, with_refine: bool,
-                       b: int = 1, view_mesh=None):
+                       b: int = 1, view_mesh=None, view_mesh_axis: str = "sp",
+                       view_mesh_dim: str = "view"):
         """Compile the full sampling program once per (steps, guidance,
-        refine, batch[, frame-parallel mesh — the refine's splat render
-        needs an explicit shard_map over the view axis]).
+        refine, batch[, serving mesh — the refine's splat render needs an
+        explicit shard_map over the view (frame-parallel) or batch (dp)
+        axis]).
 
         Model params are explicit jit arguments — closing over them would
         bake gigabytes of weights into the program as constants and multiply
@@ -355,7 +357,8 @@ class T2VPipeline:
                     cam_view=cam_view, cam_view_proj=cam_view_proj,
                     uncond_mode=str(self.cfg.get("gs_refine_uncond", "full")),
                     view_idxs=tuple(self.cfg.get("gs_refine_views", REFINE_VIEW_IDXS)),
-                    view_mesh=view_mesh,
+                    view_mesh=view_mesh, view_mesh_axis=view_mesh_axis,
+                    view_mesh_dim=view_mesh_dim,
                 )
             latents = ddim_sample_loop(
                 diffusion, cfg_model, noise,
@@ -549,13 +552,6 @@ class T2VPipeline:
         b_run = b
         params = self._params
         dp_mesh = None
-        if data_parallel and use_gs_refine:
-            # the refine's splat render is a custom call; under batch-dim
-            # sharding it needs a batch-axis shard_map nobody has measured
-            # a need for yet — run the refined batch on one device
-            logger.warning("generate_batch: data_parallel + use_gs_refine "
-                           "unsupported; running single-device")
-            data_parallel = False
         if data_parallel and jax.device_count() > 1:
             n = jax.device_count()
             pad = (-b) % n
@@ -590,10 +586,12 @@ class T2VPipeline:
             gs_rays, gs_cv, gs_cvp = cached
             sample_rng = replicate_params(dp_mesh, sample_rng)
 
-        key = (steps, guide_scale, use_gs_refine, b_run, False)
+        key = (steps, guide_scale, use_gs_refine, b_run, dp_mesh is not None)
         if key not in self._samplers:
             self._samplers[key] = self._build_sampler(
-                steps, guide_scale, use_gs_refine, b=b_run)
+                steps, guide_scale, use_gs_refine, b=b_run,
+                view_mesh=dp_mesh if use_gs_refine else None,
+                view_mesh_axis="dp", view_mesh_dim="batch")
         with _pallas_kernels_disabled(enabled=dp_mesh is not None):
             # same trace-time rule as frame-parallel: Pallas custom calls
             # can't be GSPMD-partitioned, batch-dim sharding included

@@ -55,6 +55,8 @@ def make_refine_fn(
     uncond_mode: str = "full",
     view_idxs: tuple = REFINE_VIEW_IDXS,
     view_mesh=None,
+    view_mesh_axis: str = "sp",
+    view_mesh_dim: str = "view",
 ) -> Callable:
     """Build ``refine_fn(xt, t) -> (cond_latent_x0, uncond_latent_x0)``.
 
@@ -74,10 +76,13 @@ def make_refine_fn(
         cost (1 UNet row, 4 decodes, 1 LGM scene, V renders, V encodes).
         Opt-in via config ``gs_refine_uncond: shared``.
 
-    ``view_mesh``: frame-parallel serving mesh (``sp`` axis). When set, the
-    splat render runs view-sharded via ``shard_map`` — each device
-    rasterizes its local V/n views with the scene replicated — because the
-    Pallas rasterizer is a custom call GSPMD cannot partition on its own.
+    ``view_mesh``: serving mesh. When set, the splat render runs sharded
+    via ``shard_map`` — over the VIEW axis for frame-parallel serving
+    (``view_mesh_dim='view'``, scene replicated, each device rasterizes
+    its local V/n views) or over the BATCH axis for dp-batched serving
+    (``view_mesh_dim='batch'``, each device renders its local scenes) —
+    because the Pallas rasterizer is a custom call GSPMD cannot partition
+    on its own. ``view_mesh_axis`` names the mesh axis ('sp' or 'dp').
     """
     idxs = jnp.asarray(view_idxs, dtype=jnp.int32)
     in_size = gs_settings.input_size
@@ -130,7 +135,10 @@ def make_refine_fn(
         rkw = dict(bg_color=bg, img_size=out_size, fovy_deg=gs_settings.fovy,
                    backend=splat_backend, packed=True)
         if view_mesh is not None:
-            out = render_gaussians_view_sharded(view_mesh, gaussians, cv, cvp, **rkw)
+            out = render_gaussians_view_sharded(
+                view_mesh, gaussians, cv, cvp,
+                axis=view_mesh_axis, shard_dim=view_mesh_dim, **rkw,
+            )
         else:
             out = render_gaussians(gaussians, cv, cvp, **rkw)
         renders = out["image"]  # [2b, V, 3, out, out]

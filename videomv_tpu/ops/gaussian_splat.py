@@ -342,18 +342,25 @@ def render_gaussians_view_sharded(
     cam_view: jnp.ndarray,  # [B, V, 4, 4]
     cam_view_proj: jnp.ndarray,  # [B, V, 4, 4]
     axis: str = "sp",
+    shard_dim: str = "view",
     **kwargs,
 ) -> Dict[str, jnp.ndarray]:
-    """``render_gaussians`` with the VIEW axis sharded over ``mesh[axis]``.
+    """``render_gaussians`` with the view OR batch axis sharded over
+    ``mesh[axis]``.
 
     The rasterizer (Pallas on TPU) is a custom call with no GSPMD
     partitioning rules, so under a sharded program plain XLA either fails
-    to partition it or replicates all V views onto every device.
-    ``shard_map`` makes the split explicit instead: the scene (gaussians)
-    is replicated, each device rasterizes only its V/n local views, and the
-    outputs come back view-sharded — the layout the frame-parallel sampler
-    already keeps its activations in. V must divide by the mesh axis (the
-    frame-parallel mesh guarantees it: V == num_frames).
+    to partition it or replicates the whole render onto every device.
+    ``shard_map`` makes the split explicit instead:
+
+    - ``shard_dim='view'`` (frame-parallel serving): scene replicated,
+      each device rasterizes its V/n local views; outputs come back
+      view-sharded — the layout the frame-parallel sampler keeps its
+      activations in. V must divide by the mesh axis (the frame-parallel
+      mesh guarantees it: V == num_frames).
+    - ``shard_dim='batch'`` (dp-batched serving): each device rasterizes
+      all views of its local scenes; fully local, no collectives. B must
+      divide by the mesh axis (generate_batch pads to device count).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -365,14 +372,22 @@ def render_gaussians_view_sharded(
     def local(g, cv, cvp):
         return render_gaussians(g, cv, cvp, **kwargs)
 
+    if shard_dim == "view":
+        in_specs = (P(), P(None, axis), P(None, axis))
+        out = P(None, axis)
+    elif shard_dim == "batch":
+        in_specs = (P(axis), P(axis), P(axis))
+        out = P(axis)
+    else:
+        raise ValueError(f"shard_dim must be 'view' or 'batch', got {shard_dim!r}")
+
     # check_vma off: the inner rasterizer's scans mix replicated (scene)
     # and varying (per-view) values in one carry, which the varying-type
     # checker rejects even though the program is correct per-shard
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(None, axis), P(None, axis)),
-        out_specs={"image": P(None, axis), "alpha": P(None, axis),
-                   "depth": P(None, axis)},
+        in_specs=in_specs,
+        out_specs={"image": out, "alpha": out, "depth": out},
         check_vma=False,
     )(gaussians, cam_view, cam_view_proj)
