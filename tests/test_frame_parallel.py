@@ -63,3 +63,48 @@ def test_sharded_forward_layout(tiny_pipe):
     p = replicate_params(mesh, {"w": jnp.ones((3, 3))})
     assert len(p["w"].addressable_shards) == mesh.shape["sp"]
     assert p["w"].addressable_shards[0].data.shape == (3, 3)
+
+
+def test_custom_negative_words_respected_under_fp(tiny_pipe):
+    """A caller-supplied negative encoding must steer the CFG uncond row
+    even under frame-parallel serving — the orbit placement cache must not
+    substitute the default negative (regression: the old _sp_cache bundled
+    negative_words into the per-orbit entry).
+
+    At random init the cross-attn transformers' proj_out is zero-init
+    (reference/SD init scheme), making text conditioning inert — perturb
+    the zero leaves so the CFG rows actually diverge."""
+    pipe = tiny_pipe
+    leaves, treedef = jax.tree_util.tree_flatten(pipe._params["unet"])
+    keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+    leaves = [
+        l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+        if bool(jnp.all(l == 0)) else l
+        for l, k in zip(leaves, keys)
+    ]
+    pipe._params["unet"] = jax.tree_util.tree_unflatten(treedef, leaves)
+    pipe._params_sp = None  # mutated params invalidate the mesh snapshot
+
+    default = pipe.generate("a chair", steps=3, seed=5, frame_parallel=True)
+    custom_neg = pipe.encode_text(["low quality, blurry"])
+    custom = pipe.generate(
+        "a chair", steps=3, seed=5, frame_parallel=True,
+        negative_words=custom_neg,
+    )
+    assert not np.allclose(custom["latents"], default["latents"]), (
+        "custom negative_words had no effect under frame_parallel"
+    )
+    # and the default path afterwards is unpoisoned by the custom call
+    again = pipe.generate("a chair", steps=3, seed=5, frame_parallel=True)
+    np.testing.assert_allclose(again["latents"], default["latents"], rtol=1e-6)
+
+
+def test_weight_reload_invalidates_clip_caches(tiny_pipe):
+    """load_weights / init_params must drop negative-prompt encodings and
+    mesh param snapshots produced by the previous weights (regression:
+    stale random-init CLIP encodings survived a checkpoint load)."""
+    pipe = tiny_pipe
+    pipe._negative_cache["stale"] = jnp.zeros((1, 77, 8))
+    pipe.load_weights()  # tiny config ships no checkpoint paths: pure invalidation
+    assert not pipe._negative_cache
+    assert pipe._params_sp is None and pipe._params_dp is None

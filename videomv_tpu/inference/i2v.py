@@ -11,16 +11,13 @@ diffusion, guidance 6.0.
 
 from __future__ import annotations
 
-import functools
 import logging
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.cameras import orbit_c2w_opengl, orbit_camera_for_t2v, prepare_gs_training
-from ..data.tokenizer import tokenize
 from ..diffusion.samplers import ddim_sample_loop
 from ..models.clip import VIT_MEAN, VIT_STD
 from ..models.unet_i2v import UNetSD_I2VGen
@@ -83,6 +80,12 @@ class I2VPipeline(T2VPipeline):
             )
             self._params["lgm"] = jax.jit(self.lgm.init)(r4, lgm_in)
 
+        # fresh params invalidate the mesh snapshots and CLIP-derived caches
+        # (same contract as T2VPipeline.init_params)
+        self._params_sp = None
+        self._params_dp = None
+        self._negative_cache.clear()
+
         if load:
             self.load_weights()
         return self._params
@@ -91,8 +94,6 @@ class I2VPipeline(T2VPipeline):
 
     def encode_image_clip(self, rgb: np.ndarray) -> jnp.ndarray:
         """float RGB [H,W,3] in [0,1] → CLIP image embedding [1, 1024]."""
-        import jax.image as jimg
-
         x = jnp.asarray(rgb)[None]  # [1, H, W, 3]
         x = jax.image.resize(x, (1, 224, 224, 3), method="bilinear")
         x = (x - jnp.asarray(VIT_MEAN)) / jnp.asarray(VIT_STD)
@@ -198,19 +199,18 @@ class I2VPipeline(T2VPipeline):
 
         rgb = load_white_composite(image_path, self.resolution[0])
         y_words = self.encode_text([""])
-        neg = self.encode_text([cfg.get("negative_prompt", "")])
+        neg_prompt = cfg.get("negative_prompt", "")
+        neg = self._negative_cache.get(neg_prompt)
+        if neg is None:
+            neg = self.encode_text([neg_prompt])
+            self._negative_cache[neg_prompt] = neg
         y_visual = self.encode_image_clip(rgb)  # [1, 1024]
         zero_img = jnp.zeros_like(y_visual) if bool(cfg.get("use_zero_infer", True)) else y_visual
         local = jnp.repeat(self.encode_local_latent(rgb), 1, axis=2)
 
-        cam = jnp.asarray(orbit_camera_for_t2v(self.max_frames, elevation, camera_distance))
-        gs = prepare_gs_training(
-            orbit_c2w_opengl(self.max_frames, elevation, camera_distance),
-            self.gs_settings, ray_size=self.gs_settings.input_size,
-        )
-        gs_rays = jnp.asarray(gs["input_rays"])
-        gs_cv = jnp.asarray(gs["cam_view"])
-        gs_cvp = jnp.asarray(gs["cam_view_proj"])
+        # orbit conditioning + splat cameras, cached per orbit on host math
+        # and device arrays (T2VPipeline._get_cameras)
+        cam, gs_rays, gs_cv, gs_cvp = self._get_cameras(elevation, camera_distance)
 
         rng = jax.random.PRNGKey(seed)
         noise_rng, sample_rng = jax.random.split(rng)
@@ -230,13 +230,13 @@ class I2VPipeline(T2VPipeline):
                 if self._params_sp is None:
                     self._params_sp = replicate_params(sp, self._params)
                 params = self._params_sp
+                cam, gs_rays, gs_cv, gs_cvp = self._sp_place_orbit(
+                    sp, elevation, camera_distance)
                 noise = shard_on_axis(sp, noise, 2)
-                cam = shard_on_axis(sp, cam, 1)
-                gs_rays = shard_on_axis(sp, gs_rays, 1)
-                (y_words, neg, local, y_visual, zero_img, gs_cv, gs_cvp,
+                # per-image conditioning is tiny — replicate fresh per call
+                (y_words, neg, local, y_visual, zero_img,
                  sample_rng) = replicate_params(
-                    sp, (y_words, neg, local, y_visual, zero_img, gs_cv,
-                         gs_cvp, sample_rng))
+                    sp, (y_words, neg, local, y_visual, zero_img, sample_rng))
 
         key = ("i2v", steps, guide_scale, use_gs_refine, sp is not None)
         if key not in self._samplers:

@@ -212,6 +212,7 @@ class T2VPipeline:
         logger.info("param init took %.1fs", time.time() - t0)
         self._params_sp = None  # fresh params invalidate the mesh snapshots
         self._params_dp = None
+        self._negative_cache.clear()  # encodings from the old CLIP weights
 
         if load:
             self.load_weights()
@@ -267,9 +268,11 @@ class T2VPipeline:
                     f"{report['mismatched'][:3]}. Set min_matched_fraction in "
                     "the config to override."
                 )
-        # new weights invalidate the mesh-replicated param snapshots
+        # new weights invalidate the mesh-replicated param snapshots and any
+        # negative-prompt encodings produced by the previous CLIP weights
         self._params_sp = None
         self._params_dp = None
+        self._negative_cache.clear()
 
     # ---------------------------------------------------------- builders
 
@@ -316,6 +319,25 @@ class T2VPipeline:
                 jnp.asarray(gs["cam_view_proj"]),
             )
             self._camera_cache[cam_key] = cached
+        return cached
+
+    def _sp_place_orbit(self, sp, elevation: float, camera_distance: float):
+        """Orbit constants placed on the frame-parallel mesh, cached per
+        orbit: cam + Plücker rays frame-sharded, splat cameras replicated.
+        Weight-independent (pure camera math), so weight reloads need not
+        invalidate this cache. Without it the 37 MB rays re-upload and
+        reshard on every call."""
+        ck = ("sp", self.max_frames, float(elevation), float(camera_distance),
+              bool(self.cfg.get("reference_inference_cameras", False)))
+        cached = self._sp_cache.get(ck)
+        if cached is None:
+            cam, gs_rays, gs_cv, gs_cvp = self._get_cameras(elevation, camera_distance)
+            cached = (
+                shard_on_axis(sp, cam, 1),
+                shard_on_axis(sp, gs_rays, 1),
+                *replicate_params(sp, (gs_cv, gs_cvp)),
+            )
+            self._sp_cache[ck] = cached
         return cached
 
     def _build_sampler(self, steps: int, guide_scale: float, with_refine: bool,
@@ -469,20 +491,13 @@ class T2VPipeline:
                 # 37 MB rays above all) are resharded once per orbit, not
                 # per call.
                 params = self._params_sp
-                neg = cfg.get("negative_prompt", "")
-                ck = ("sp", self.max_frames, float(elevation),
-                      float(camera_distance), neg)
-                cached = self._sp_cache.get(ck)
-                if cached is None:
-                    cached = (
-                        shard_on_axis(sp, cam, 1),
-                        shard_on_axis(sp, gs_rays, 1),
-                        *replicate_params(sp, (gs_cv, gs_cvp, negative_words)),
-                    )
-                    self._sp_cache[ck] = cached
-                cam, gs_rays, gs_cv, gs_cvp, negative_words = cached
+                cam, gs_rays, gs_cv, gs_cvp = self._sp_place_orbit(
+                    sp, elevation, camera_distance)
                 noise = shard_on_axis(sp, noise, 2)
-                y_words, sample_rng = replicate_params(sp, (y_words, sample_rng))
+                # per-call conditioning (incl. any caller-supplied negative
+                # encoding) is tiny — replicate fresh, never cache it
+                y_words, negative_words, sample_rng = replicate_params(
+                    sp, (y_words, negative_words, sample_rng))
 
         # the refine branch's program differs under frame-parallel (the
         # splat render becomes an explicit shard_map over the view axis),

@@ -366,8 +366,12 @@ def render_gaussians_view_sharded(
 
     try:  # jax>=0.6 stable name, older experimental fallback
         from jax import shard_map
+
+        vma_kwargs = {"check_vma": False}
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
+
+        vma_kwargs = {"check_rep": False}  # legacy spelling of the same check
 
     def local(g, cv, cvp):
         return render_gaussians(g, cv, cvp, **kwargs)
@@ -389,5 +393,5 @@ def render_gaussians_view_sharded(
         mesh=mesh,
         in_specs=in_specs,
         out_specs={"image": out, "alpha": out, "depth": out},
-        check_vma=False,
+        **vma_kwargs,
     )(gaussians, cam_view, cam_view_proj)
