@@ -2,6 +2,7 @@ from .infer import frame_parallel_mesh, replicate_params, shard_on_axis
 from .mesh import (
     fsdp_shardings, init_distributed, make_mesh, replicate, shard_batch,
 )
+from .tp import place_params_tp, tensor_parallel_mesh, tp_shardings
 from .train_step import (
     TrainState,
     build_train_step,
@@ -22,4 +23,7 @@ __all__ = [
     "frame_parallel_mesh",
     "replicate_params",
     "shard_on_axis",
+    "tensor_parallel_mesh",
+    "tp_shardings",
+    "place_params_tp",
 ]

@@ -1,0 +1,112 @@
+"""Tensor-parallel (Megatron-style) attention sharding for serving.
+
+A TPU-native scale-out axis with no reference analog (the reference serves
+one sample per GPU). Frame-parallel serving (``infer.py``) caps at
+``num_frames`` devices; tensor parallelism composes with it on a 2-D
+``('sp', 'tp')`` mesh so a single sample can use ``frames × tp`` chips.
+
+Mechanism — placement is the annotation, exactly like fsdp/sp: the UNet's
+attention projections get head-sharded parameter placements and GSPMD
+propagates the layout through the unchanged jitted sampler:
+
+- ``to_q/to_k/to_v`` kernels ``[in, heads·head_dim]`` shard the OUT dim
+  (column-parallel). The ``(tokens, heads·head_dim) → (tokens, heads,
+  head_dim)`` reshape factors cleanly because every block's head count is
+  the constant UNet ``num_heads`` (models/unet_t2v.py) — ``tp`` must divide
+  it — so each device attends over its local heads with zero collectives.
+- ``to_out_0`` kernels ``[heads·head_dim, out]`` shard the IN dim
+  (row-parallel): each device contributes a partial product and GSPMD
+  inserts ONE psum per attention, the textbook Megatron count. The bias
+  stays replicated (added once, after the reduce).
+- Everything else (convs, norms, time/camera MLPs, GEGLU FFN) stays
+  replicated. The fused GEGLU layout ``[in, 2·inner]`` (value|gate stacked
+  for torch-checkpoint parity, blocks.py FeedForward) cannot shard its OUT
+  dim without splitting value and gate across devices — the elementwise
+  ``value · gelu(gate)`` would reshard every call — so the FFN is left
+  replicated rather than sharded badly.
+
+Like all serving meshes here, tp traces take the XLA attention path (the
+Pallas custom calls carry no GSPMD partitioning rules — pipeline.py's
+``_pallas_kernels_disabled``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["tensor_parallel_mesh", "tp_shardings", "place_params_tp"]
+
+logger = logging.getLogger(__name__)
+
+# leaf names of the attention projections, as declared by
+# models/blocks.py::CrossAttention (torch-checkpoint-parity names)
+_COLUMN_PARALLEL = ("to_q", "to_k", "to_v")
+_ROW_PARALLEL = ("to_out_0",)
+
+
+def tensor_parallel_mesh(
+    num_heads: int,
+    tp: Optional[int] = None,
+    sp: int = 1,
+    n_devices: Optional[int] = None,
+) -> Optional[Mesh]:
+    """Build a ``('sp', 'tp')`` mesh (1-D ``('tp',)`` when ``sp == 1``).
+
+    ``tp`` must divide ``num_heads`` (the head axis is what shards); when
+    omitted, the largest head-divisor that fits the remaining devices is
+    chosen. Returns None when only one device would participate.
+    """
+    avail = len(jax.devices()) if n_devices is None else min(n_devices, len(jax.devices()))
+    budget = avail // max(sp, 1)
+    if tp is None:
+        tp = max((d for d in range(1, budget + 1) if num_heads % d == 0), default=1)
+    if num_heads % tp != 0:
+        raise ValueError(f"tp={tp} must divide num_heads={num_heads}")
+    if sp * tp > avail:
+        raise ValueError(f"sp*tp = {sp}*{tp} exceeds {avail} devices")
+    if tp == 1 and sp == 1:
+        return None
+    devices = np.asarray(jax.devices()[: sp * tp])
+    if sp == 1:
+        return Mesh(devices, axis_names=("tp",))
+    return Mesh(devices.reshape(sp, tp), axis_names=("sp", "tp"))
+
+
+def tp_shardings(params, mesh: Mesh, axis: str = "tp"):
+    """Megatron attention placement for a UNet param tree: returns a pytree
+    of ``NamedSharding`` (column-parallel qkv, row-parallel out-proj,
+    everything else replicated over the whole mesh)."""
+    n = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, axis))
+    row = NamedSharding(mesh, P(axis, None))
+
+    def spec_for(path, x):
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        leaf = names[-1] if names else ""
+        parent = names[-2] if len(names) > 1 else ""
+        if leaf == "kernel" and parent in _COLUMN_PARALLEL:
+            if x.shape[-1] % n == 0:
+                return col
+            logger.warning("tp: %s out dim %d not divisible by %d — replicating",
+                           "/".join(names), x.shape[-1], n)
+        if leaf == "kernel" and parent in _ROW_PARALLEL:
+            if x.shape[0] % n == 0:
+                return row
+            logger.warning("tp: %s in dim %d not divisible by %d — replicating",
+                           "/".join(names), x.shape[0], n)
+        return repl
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def place_params_tp(mesh: Mesh, params, axis: str = "tp"):
+    """Device-put a param tree per :func:`tp_shardings`."""
+    return jax.tree_util.tree_map(
+        jax.device_put, params, tp_shardings(params, mesh, axis=axis)
+    )
