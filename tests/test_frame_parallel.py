@@ -108,3 +108,18 @@ def test_weight_reload_invalidates_clip_caches(tiny_pipe):
     pipe.load_weights()  # tiny config ships no checkpoint paths: pure invalidation
     assert not pipe._negative_cache
     assert pipe._params_sp is None and pipe._params_dp is None
+
+
+def test_serving_tp_composed_mesh_parity():
+    """cfg serving_tp=2 composes a ('sp','tp') mesh inside generate():
+    frames over sp, attention heads over tp — one sample on sp*tp devices,
+    same latents as the single-device run."""
+    cfg = load_inference_config("configs/t2v_infer_tiny.yaml")
+    cfg["serving_tp"] = 2
+    pipe = T2VPipeline(cfg, seed=0)
+    pipe.init_params(load=False)
+    base = pipe.generate("a chair", steps=3, seed=5)
+    fp = pipe.generate("a chair", steps=3, seed=5, frame_parallel=True)
+    assert pipe._sp_mesh is not None
+    assert dict(pipe._sp_mesh.shape) == {"sp": 4, "tp": 2}
+    np.testing.assert_allclose(fp["latents"], base["latents"], rtol=2e-4, atol=2e-5)

@@ -21,7 +21,7 @@ import numpy as np
 from ..diffusion.samplers import ddim_sample_loop
 from ..models.clip import VIT_MEAN, VIT_STD
 from ..models.unet_i2v import UNetSD_I2VGen
-from ..parallel.infer import frame_parallel_mesh, replicate_params, shard_on_axis
+from ..parallel.infer import replicate_params, shard_on_axis
 from .pipeline import T2VPipeline, _pallas_kernels_disabled, unet_kwargs_from_cfg
 
 logger = logging.getLogger(__name__)
@@ -222,13 +222,10 @@ class I2VPipeline(T2VPipeline):
         params = self._params
         sp = None
         if frame_parallel:
-            if not self._sp_tried:
-                self._sp_tried = True
-                self._sp_mesh = frame_parallel_mesh(self.max_frames)
-            if self._sp_mesh is not None:
-                sp = self._sp_mesh
+            sp = self._serving_mesh()
+            if sp is not None:
                 if self._params_sp is None:
-                    self._params_sp = replicate_params(sp, self._params)
+                    self._params_sp = self._place_params_serving(sp)
                 params = self._params_sp
                 cam, gs_rays, gs_cv, gs_cvp = self._sp_place_orbit(
                     sp, elevation, camera_distance)

@@ -50,6 +50,7 @@ from ..models.clip import OpenCLIPTextVisual
 from ..models.lgm import LGM, LGMOptions
 from ..models.unet_t2v import UNetSD_T2VBase
 from ..parallel.infer import frame_parallel_mesh, replicate_params, shard_on_axis
+from ..parallel.tp import place_params_tp
 
 logger = logging.getLogger(__name__)
 
@@ -321,6 +322,54 @@ class T2VPipeline:
             self._camera_cache[cam_key] = cached
         return cached
 
+    def _serving_mesh(self):
+        """Build (once) the single-sample serving mesh for
+        ``generate(frame_parallel=True)``.
+
+        Default: 1-D ``('sp',)`` frame-parallel mesh (largest divisor of
+        ``max_frames``). With ``cfg.serving_tp > 1``: a composed 2-D
+        ``('sp', 'tp')`` mesh — frames over sp AND attention heads over tp
+        (parallel/tp.py), so one sample can use more devices than it has
+        frames."""
+        if self._sp_tried:
+            return self._sp_mesh
+        self._sp_tried = True
+        tp_n = int(self.cfg.get("serving_tp", 1))
+        if tp_n <= 1:
+            self._sp_mesh = frame_parallel_mesh(self.max_frames)
+            return self._sp_mesh
+        avail = len(jax.devices())
+        budget = max(avail // tp_n, 1)
+        sp_n = max(d for d in range(1, budget + 1) if self.max_frames % d == 0)
+        if sp_n * tp_n > avail or sp_n * tp_n == 1:
+            logger.warning(
+                "serving_tp=%d: no usable mesh on %d devices — single-device",
+                tp_n, avail,
+            )
+            self._sp_mesh = None
+            return None
+        from jax.sharding import Mesh
+
+        devices = np.asarray(jax.devices()[: sp_n * tp_n]).reshape(sp_n, tp_n)
+        self._sp_mesh = Mesh(devices, axis_names=("sp", "tp"))
+        return self._sp_mesh
+
+    def _place_params_serving(self, sp):
+        """All model params placed on the serving mesh: replicated, except
+        the UNet's attention projections when the mesh carries a 'tp' axis
+        (head-sharded per tp_shardings; VAE/CLIP/LGM stay replicated —
+        their attention layouts are not head-gated and they are a few
+        percent of the step)."""
+        if "tp" in sp.axis_names:
+            placed = replicate_params(
+                sp, {k: v for k, v in self._params.items() if k != "unet"}
+            )
+            placed["unet"] = place_params_tp(
+                sp, self._params["unet"], head_dim=self.unet.head_dim
+            )
+            return placed
+        return replicate_params(sp, self._params)
+
     def _sp_place_orbit(self, sp, elevation: float, camera_distance: float):
         """Orbit constants placed on the frame-parallel mesh, cached per
         orbit: cam + Plücker rays frame-sharded, splat cameras replicated.
@@ -477,13 +526,10 @@ class T2VPipeline:
         params = self._params
         sp = None
         if frame_parallel:
-            if not self._sp_tried:
-                self._sp_tried = True
-                self._sp_mesh = frame_parallel_mesh(self.max_frames)
-            if self._sp_mesh is not None:
-                sp = self._sp_mesh
+            sp = self._serving_mesh()
+            if sp is not None:
                 if self._params_sp is None:
-                    self._params_sp = replicate_params(sp, self._params)
+                    self._params_sp = self._place_params_serving(sp)
                 # placement is the annotation: the SAME jitted sampler
                 # recompiles once for the sharded input layout. Every input
                 # must live on the mesh (jit rejects mixed device sets), so
