@@ -131,9 +131,16 @@ def main():
             t0 = time.time()
             pipe = build_pipe(args.cfg, args.opts, fp32, args.seed, load=False)
             out = pipe.generate(prompt, steps=args.steps, seed=args.seed)
-            results[name] = out["frames"]
+            results[name] = np.asarray(out["frames"])
             print(f"{name}: sampled in {time.time()-t0:.1f}s "
                   f"(dtype={pipe.dtype.__name__})", flush=True)
+            # both towers don't fit 16 GB HBM at once (bf16 ~5.6 GB + fp32
+            # ~11 GB params) — drop this pipeline's device buffers before
+            # building the next (observed ResourceExhausted otherwise)
+            del out, pipe
+            import gc
+
+            gc.collect()
         per_view = [psnr(results["bf16"][v], results["fp32"][v])
                     for v in range(results["bf16"].shape[0])]
         print("\nper-view PSNR bf16 vs fp32 (same seed, random init):")

@@ -105,3 +105,27 @@ def test_sp_tp_composed_parity(tiny):
             shard_on_axis(mesh, cam, 1),
         )
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_head_divisibility_gate():
+    """With head_dim given, a projection shards only when its head count
+    divides tp — a 5-head projection split 2 ways would cut a head in half
+    and force GSPMD resharding at the heads reshape (pipeline passes the
+    UNet's head_dim for exactly this; per-level head counts vary)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = tensor_parallel_mesh(num_heads=2)  # tp=2 on the 8-device mesh
+    hd = 16
+    tree = {"blk": {
+        "to_q": {"kernel": jnp.zeros((64, 5 * hd))},       # 5 heads: gate fails
+        "to_k": {"kernel": jnp.zeros((64, 4 * hd))},       # 4 heads: shards
+        "to_out_0": {"kernel": jnp.zeros((5 * hd, 64))},   # 5 heads: gate fails
+    }}
+    specs = tp_shardings(tree, mesh, head_dim=hd)
+    assert specs["blk"]["to_q"]["kernel"].spec == P()
+    assert specs["blk"]["to_k"]["kernel"].spec == P(None, "tp")
+    assert specs["blk"]["to_out_0"]["kernel"].spec == P()
+    # without head_dim the gate is raw divisibility: 80 % 2 == 0 → shards
+    specs2 = tp_shardings(tree, mesh)
+    assert specs2["blk"]["to_q"]["kernel"].spec == P(None, "tp")
+    assert specs2["blk"]["to_out_0"]["kernel"].spec == P("tp", None)

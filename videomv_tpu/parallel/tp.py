@@ -77,36 +77,53 @@ def tensor_parallel_mesh(
     return Mesh(devices.reshape(sp, tp), axis_names=("sp", "tp"))
 
 
-def tp_shardings(params, mesh: Mesh, axis: str = "tp"):
+def tp_shardings(params, mesh: Mesh, axis: str = "tp",
+                 head_dim: Optional[int] = None):
     """Megatron attention placement for a UNet param tree: returns a pytree
     of ``NamedSharding`` (column-parallel qkv, row-parallel out-proj,
-    everything else replicated over the whole mesh)."""
+    everything else replicated over the whole mesh).
+
+    With ``head_dim`` given, a projection is sharded only when its HEAD
+    COUNT (projection dim // head_dim) divides the tp degree — the UNet's
+    per-level head counts vary (``n_heads = cout // head_dim``,
+    models/unet_t2v.py:207-209), and sharding a 5-head projection 2 ways
+    would split a head across devices: the ``(tokens, heads, head_dim)``
+    reshape then forces GSPMD to reshard every attention. Kernels whose
+    level fails the gate stay replicated (correct, merely unsharded).
+    Without ``head_dim`` the gate falls back to raw dim divisibility."""
     n = mesh.shape[axis]
     repl = NamedSharding(mesh, P())
     col = NamedSharding(mesh, P(None, axis))
     row = NamedSharding(mesh, P(axis, None))
+
+    def _gate(dim):
+        if dim % n != 0:
+            return False
+        return head_dim is None or (dim // head_dim) % n == 0
 
     def spec_for(path, x):
         names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
         leaf = names[-1] if names else ""
         parent = names[-2] if len(names) > 1 else ""
         if leaf == "kernel" and parent in _COLUMN_PARALLEL:
-            if x.shape[-1] % n == 0:
+            if _gate(x.shape[-1]):
                 return col
-            logger.warning("tp: %s out dim %d not divisible by %d — replicating",
+            logger.warning("tp: %s out dim %d fails %d-way head gate — replicating",
                            "/".join(names), x.shape[-1], n)
         if leaf == "kernel" and parent in _ROW_PARALLEL:
-            if x.shape[0] % n == 0:
+            if _gate(x.shape[0]):
                 return row
-            logger.warning("tp: %s in dim %d not divisible by %d — replicating",
+            logger.warning("tp: %s in dim %d fails %d-way head gate — replicating",
                            "/".join(names), x.shape[0], n)
         return repl
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def place_params_tp(mesh: Mesh, params, axis: str = "tp"):
+def place_params_tp(mesh: Mesh, params, axis: str = "tp",
+                    head_dim: Optional[int] = None):
     """Device-put a param tree per :func:`tp_shardings`."""
     return jax.tree_util.tree_map(
-        jax.device_put, params, tp_shardings(params, mesh, axis=axis)
+        jax.device_put, params,
+        tp_shardings(params, mesh, axis=axis, head_dim=head_dim),
     )
