@@ -78,10 +78,31 @@ def load_reference_views(path_base, num_frames, resolution):
     return None
 
 
-def build_pipe(cfg_path, opts, fp32, seed, load):
+# Acceptance mode (VERDICT r3 #6): the with-weights run against A100
+# reference outputs must measure reference parity with ZERO approximations
+# stacked — not parity-plus-serving-shortcuts. These overrides force the
+# reference-exact semantics (justifications reference file:line):
+#   gs_refine_uncond=full        both CFG rows run the refine branch
+#                                (diffusion_ddim.py:148-155 passes the
+#                                autoencoder for cond AND uncond)
+#   reference_inference_cameras  the inference engine's mirrored camera
+#                                chain, bit-for-bit (inference_text2video_
+#                                entrance.py:184-236)
+#   gs_render_size=512           refine renders at output_size=512 then
+#                                downsamples (unet_t2v.py:417-428)
+#   sampling_dtype=float32       the A100 reference computes fp32
+ACCEPTANCE_OVERRIDES = {
+    "gs_refine_uncond": "full",
+    "reference_inference_cameras": True,
+    "gs_render_size": 512,
+    "sampling_dtype": "float32",
+}
+
+
+def build_pipe(cfg_path, opts, fp32, seed, load, acceptance=False):
     import jax
 
-    if fp32:
+    if fp32 or acceptance:
         # fp32 params alone are not enough on TPU: f32 matmuls still run
         # one-pass bf16 at default precision
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -91,6 +112,8 @@ def build_pipe(cfg_path, opts, fp32, seed, load):
     cfg = load_inference_config(cfg_path, opts=list(opts))
     if fp32:
         cfg["sampling_dtype"] = "float32"
+    if acceptance:
+        cfg.update(ACCEPTANCE_OVERRIDES)
     pipe = T2VPipeline(cfg, seed=seed)
     pipe.init_params(load=load)
     return pipe
@@ -110,8 +133,16 @@ def main():
     ap.add_argument("--threshold", type=float, default=30.0)
     ap.add_argument("--fp32", action="store_true",
                     help="sample in float32 (escape hatch for bf16 drift)")
+    ap.add_argument("--refine", action="store_true",
+                    help="score the GS-refined pass instead of the plain one "
+                         "(the reference writes both videos)")
     ap.add_argument("--self_consistency", action="store_true",
                     help="no weights needed: bf16-vs-fp32 drift bound")
+    ap.add_argument("--acceptance", action="store_true",
+                    help="pin reference-exact semantics for the with-weights "
+                         "acceptance run: gs_refine_uncond=full, the "
+                         "reference camera chain, 512-pixel refine renders, "
+                         "fp32 (see ACCEPTANCE_OVERRIDES)")
     ap.add_argument("--opts", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -159,7 +190,8 @@ def main():
     opts = list(args.opts)
     if args.ckpt_dir:
         opts += [f"ckpt_dir={args.ckpt_dir}"]
-    pipe = build_pipe(args.cfg, opts, args.fp32, args.seed, load=True)
+    pipe = build_pipe(args.cfg, opts, args.fp32, args.seed, load=True,
+                      acceptance=args.acceptance)
 
     prompts = ["a wooden chair"]
     if args.prompts and os.path.exists(args.prompts):
@@ -176,7 +208,8 @@ def main():
         if ref is None:
             print(f"[{i}] no reference output found — skipped: {prompt!r}")
             continue
-        out = pipe.generate(prompt, steps=args.steps, seed=args.seed)
+        out = pipe.generate(prompt, steps=args.steps, seed=args.seed,
+                            use_gs_refine=args.refine)
         per_view = [psnr(out["frames"][v], ref[v]) for v in range(pipe.max_frames)]
         all_psnr.extend(per_view)
         rows.append((i, prompt, per_view))
@@ -190,6 +223,7 @@ def main():
     ok = min(all_psnr) >= args.threshold
     print(json.dumps({
         "mode": "vs_reference", "fp32": args.fp32,
+        "acceptance": args.acceptance, "refine": args.refine,
         "psnr_min": round(min(all_psnr), 2),
         "psnr_mean": round(float(np.mean(all_psnr)), 2),
         "threshold": args.threshold,

@@ -67,3 +67,33 @@ def test_shipped_configs_load():
     # serving default: cond-row-only refine (measured ≥52.6 dB vs 'full';
     # scripts/refine_shared_tpu.py) — 'full' restores reference semantics
     assert cfg.gs_refine_uncond == "shared"
+
+
+def test_acceptance_overrides_pin_reference_semantics():
+    """The PSNR acceptance harness must force reference-exact settings
+    (VERDICT r3 #6): full both-rows refine (diffusion_ddim.py:148-155),
+    the reference inference camera chain, 512-pixel refine renders
+    (unet_t2v.py:417-428), fp32 sampling. Pipeline construction must
+    honor every override."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "psnr_vs_reference",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "psnr_vs_reference.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import jax.numpy as jnp
+
+    from videomv_tpu.inference import T2VPipeline
+
+    cfg = load_inference_config("configs/t2v_infer.yaml")
+    cfg.update(mod.ACCEPTANCE_OVERRIDES)
+    pipe = T2VPipeline(cfg)  # module construction only — no param init
+    assert pipe.dtype == jnp.float32
+    assert pipe.cfg.gs_refine_uncond == "full"
+    assert pipe.cfg.reference_inference_cameras is True
+    assert pipe.gs_settings.output_size == 512

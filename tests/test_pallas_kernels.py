@@ -327,3 +327,16 @@ def test_counting_binning_overflow_prefix(interpret_kernels):
     assert int((ts + tc).max()) <= 512
     img, alpha, depth = sp._composite_tiles(payload, ts, tc, n_side)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_ffn_eligible_gates_on_dtype(monkeypatch):
+    """fp32 traces must never take the fused FFN kernel: its VMEM tiling is
+    sized for 2-byte weights and OOMs at 2x the bytes (the round-3 fp32
+    acceptance-path failure). bf16 at the same shape stays eligible."""
+    import videomv_tpu.ops.fused_ffn as ff
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    t, c, inner = 48 * 1024, 320, 1280
+    assert ff.ffn_eligible(t, c, inner, jnp.bfloat16)
+    assert not ff.ffn_eligible(t, c, inner, jnp.float32)
+    assert not ff.ffn_eligible(t, c, inner, jnp.float16)

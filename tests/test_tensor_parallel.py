@@ -129,3 +129,16 @@ def test_head_divisibility_gate():
     specs2 = tp_shardings(tree, mesh)
     assert specs2["blk"]["to_q"]["kernel"].spec == P(None, "tp")
     assert specs2["blk"]["to_out_0"]["kernel"].spec == P("tp", None)
+
+
+def test_mid_head_gate_requires_exact_head_multiple():
+    """A dim that floor-divides to a tp-divisible head count but is NOT an
+    exact head multiple (dim=160, head_dim=64 -> 160//64 == 2 divisible by
+    tp=2, yet 160 % 64 != 0) must stay replicated — sharding it would split
+    the trailing partial head across devices (ADVICE r3)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = tensor_parallel_mesh(num_heads=2)
+    tree = {"blk": {"to_q": {"kernel": jnp.zeros((64, 160))}}}
+    specs = tp_shardings(tree, mesh, head_dim=64)
+    assert specs["blk"]["to_q"]["kernel"].spec == P()

@@ -157,7 +157,7 @@ class FeedForward(nn.Module):
         t = 1
         for s in lead:
             t *= int(s)
-        use_fused = deterministic and ffn_eligible(t, c_in, inner)
+        use_fused = deterministic and ffn_eligible(t, c_in, inner, dt)
         if use_fused:
             out = geglu_ffn(
                 x.reshape(t, c_in).astype(dt),

@@ -172,12 +172,20 @@ def _bwd(res, g):
 geglu_ffn.defvjp(_fwd, _bwd)
 
 
-def ffn_eligible(t: int, c: int, inner: int) -> bool:
+def ffn_eligible(t: int, c: int, inner: int, dtype=jnp.bfloat16) -> bool:
     import os
 
     if os.environ.get("VIDEOMV_DISABLE_FUSED_FFN"):
         return False
     if jax.default_backend() != "tpu":
+        return False
+    # bf16 only: _pick_tiles sizes the VMEM budget for 2-byte weight tiles;
+    # under fp32 the same tiles are 2× the bytes and the kernel dies with
+    # "Scoped allocation with size 24.90M and limit 16.00M" (the round-3
+    # fp32 acceptance path, workspace/logs/psnr_drift_r3b.log). The fp32
+    # path is an acceptance escape hatch where XLA's fused composition is
+    # the right answer anyway — don't re-tile, just skip.
+    if jnp.dtype(dtype) != jnp.dtype(jnp.bfloat16):
         return False
     # weight restreaming (3·C·I bytes per token tile) must stay well under
     # XLA's intermediate round-trips (~T·8C·bf16·2rw): wins measured for the

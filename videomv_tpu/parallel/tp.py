@@ -99,7 +99,12 @@ def tp_shardings(params, mesh: Mesh, axis: str = "tp",
     def _gate(dim):
         if dim % n != 0:
             return False
-        return head_dim is None or (dim // head_dim) % n == 0
+        if head_dim is None:
+            return True
+        # a dim that floor-divides to a tp-divisible head count but is not
+        # an exact head multiple (e.g. dim=160, head_dim=64, tp=2) would
+        # shard mid-head — require exact divisibility first (ADVICE r3)
+        return dim % head_dim == 0 and (dim // head_dim) % n == 0
 
     def spec_for(path, x):
         names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
