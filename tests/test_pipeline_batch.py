@@ -105,6 +105,70 @@ def test_generate_batch_dp_with_refine_matches_single():
     )
 
 
+def test_generate_batch_single_device_falls_back(tiny_pipe, monkeypatch):
+    """On ONE device the batched program is a measured 0.83× regression
+    (PERF.md, scripts/batch_throughput_tpu.py), so generate_batch must loop
+    the single-sample program instead of compiling a B-row one."""
+    import videomv_tpu.inference.pipeline as pl
+
+    monkeypatch.setattr(pl.jax, "device_count", lambda: 1)
+    before = set(tiny_pipe._samplers)
+    prompts = ["a red cube", "a blue sphere", "a green cone"]
+    out = tiny_pipe.generate_batch(prompts, steps=2, seed=11)
+    f = tiny_pipe.max_frames
+    hres = tiny_pipe.resolution[1]
+    assert out["frames"].shape == (3, f, hres, hres, 3)
+    assert out["latents"].shape[0] == 3
+    assert np.isfinite(out["latents"]).all()
+    assert not np.array_equal(out["frames"][0], out["frames"][1])
+    # only single-sample (b=1) programs were added — no batched compile
+    assert all(k[3] == 1 for k in set(tiny_pipe._samplers) - before)
+    # force_batched overrides the fallback (A/B harnesses need the B-row
+    # program on one device)
+    forced = tiny_pipe.generate_batch(
+        prompts, steps=2, seed=11, force_batched=True)
+    assert any(k[3] == 3 for k in tiny_pipe._samplers)
+    assert forced["frames"].shape == out["frames"].shape
+
+
+def test_params_dtype_bf16_storage():
+    """``params_dtype: bfloat16`` halves parameter residency for serving
+    (the fp32 I2V stack OOMed the 16 GB v5e — PERF.md round 4). All fp32
+    leaves cast; sampling still runs."""
+    import jax.numpy as jnp
+
+    cfg = load_inference_config("configs/t2v_infer_tiny.yaml")
+    cfg.params_dtype = "bfloat16"
+    pipe = T2VPipeline(cfg, seed=0)
+    pipe.init_params(load=False)
+    leaves = jax.tree_util.tree_leaves(pipe._params)
+    assert leaves and all(
+        l.dtype == jnp.bfloat16 for l in leaves
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
+    out = pipe.generate("a cat", steps=2, seed=1)
+    assert np.isfinite(out["latents"]).all()
+
+
+def test_params_dtype_ignored_under_fp32_sampling(caplog):
+    """fp32 sampling is the acceptance escape hatch — bf16 storage would
+    silently reintroduce the drift it exists to measure, so the cast must
+    be skipped (with a warning), not applied."""
+    import logging
+
+    import jax.numpy as jnp
+
+    cfg = load_inference_config("configs/t2v_infer_tiny.yaml")
+    cfg.params_dtype = "bfloat16"
+    cfg.sampling_dtype = "float32"
+    pipe = T2VPipeline(cfg, seed=0)
+    with caplog.at_level(logging.WARNING,
+                         logger="videomv_tpu.inference.pipeline"):
+        pipe.init_params(load=False)
+    leaves = jax.tree_util.tree_leaves(pipe._params)
+    assert all(l.dtype != jnp.bfloat16 for l in leaves if hasattr(l, "dtype"))
+    assert any("params_dtype" in r.message for r in caplog.records)
+
+
 def test_hash_tokenizer_fallback_warns(caplog):
     """Absent BPE vocab must WARN loudly (garbage conditioning with real
     weights otherwise goes unnoticed)."""

@@ -88,6 +88,8 @@ class I2VPipeline(T2VPipeline):
 
         if load:
             self.load_weights()
+        else:
+            self._cast_params_storage()
         return self._params
 
     # -------------------------------------------------------- conditioning

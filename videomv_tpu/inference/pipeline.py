@@ -217,6 +217,8 @@ class T2VPipeline:
 
         if load:
             self.load_weights()
+        else:
+            self._cast_params_storage()
         return self._params
 
     def load_weights(self):
@@ -274,6 +276,59 @@ class T2VPipeline:
         self._params_sp = None
         self._params_dp = None
         self._negative_cache.clear()
+        self._cast_params_storage()
+
+    def _cast_params_storage(self):
+        """Optional bf16 param storage for serving (config
+        ``params_dtype: bfloat16``).
+
+        Every compute path already casts weights to ``self.dtype`` in-program
+        (A/B measured perf-neutral: 155.0 vs 156.2 ms/fwd, PERF.md), but fp32
+        STORAGE is what OOMs the 16 GB v5e when the full conditioning stack
+        is resident — the I2V pipeline carries the adapter-laden UNet + the
+        full CLIP text+visual towers + VAE + LGM (~12 GB fp32), and the
+        refined sample died RESOURCE_EXHAUSTED on hardware (round-3
+        i2v_e2e log). bf16 storage halves that to ~6 GB.
+
+        Leaves are cast ONE AT A TIME with the source tree's references
+        dropped first, so peak memory is total + one leaf — a whole-tree
+        ``tree_map(astype)`` would transiently hold both copies (~18 GB).
+        Ignored under fp32 sampling (the acceptance escape hatch needs fp32
+        weights)."""
+        pd = str(self.cfg.get("params_dtype", "")).lower()
+        if pd in ("", "none", "float32", "fp32", "f32"):
+            return
+        if pd not in ("bfloat16", "bf16"):
+            raise ValueError(f"params_dtype must be bfloat16 or float32, got {pd!r}")
+        if self.dtype != jnp.bfloat16:
+            logger.warning("params_dtype bfloat16 ignored: sampling_dtype is fp32")
+            return
+        for name in list(self._params):
+            tree = self._params[name]
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            self._params[name] = None
+            del tree
+            for i, leaf in enumerate(leaves):
+                if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+                    leaves[i] = leaf.astype(jnp.bfloat16)
+            self._params[name] = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def release_samplers(self):
+        """Drop every compiled sampler executable (HBM residency control).
+
+        A 50-step full-size sampler executable holds multi-GB scratch
+        reservations on the 16 GB v5e; serving flows that switch program
+        shapes (plain → GS-refined, or steps/guide changes) can evict the
+        superseded executables instead of accumulating them. The jitted
+        callables are rebuilt on next use — a cache hit via the persistent
+        compile cache, not a cold compile."""
+        for fn in self._samplers.values():
+            try:
+                fn.clear_cache()
+            except AttributeError:
+                pass
+        self._samplers.clear()
+        self._decode_fn = None
 
     # ---------------------------------------------------------- builders
 
@@ -577,14 +632,23 @@ class T2VPipeline:
         elevation: float = 15.0,
         camera_distance: float = 2.0,
         data_parallel: bool = False,
+        force_batched: bool = False,
     ) -> Dict[str, np.ndarray]:
         """Batched multi-prompt sampling: one compiled program over B
-        prompts (the CFG forward runs 2B×F frame-rows — better MXU
-        utilization than B sequential samples). With ``data_parallel`` and
-        a multi-device runtime, the batch shards over a dp mesh and GSPMD
-        runs each prompt's denoising on its own chip — the serving-scale
-        path (no reference counterpart; the reference loops prompts on one
-        GPU). Returns frames uint8 [B, F, H, W, 3]."""
+        prompts. With ``data_parallel`` and a multi-device runtime, the
+        batch shards over a dp mesh and GSPMD runs each prompt's denoising
+        on its own chip — the serving-scale path (no reference counterpart;
+        the reference loops prompts on one GPU). Returns frames uint8
+        [B, F, H, W, 3].
+
+        On ONE device the batched program is a measured loss, not a win:
+        the CFG forward is HBM-bandwidth-bound, so the B=4 program ran at
+        0.83× of sequential throughput (41.9 s vs 34.6 s for 4 samples,
+        scripts/batch_throughput_tpu.py, PERF.md) — batching buys no MXU
+        utilization and the 4× working set evicts what the single-sample
+        program keeps resident. Single-device calls therefore loop the
+        (already-compiled) single-sample program per prompt; pass
+        ``force_batched=True`` to override (A/B harnesses)."""
         from ..parallel import make_mesh, shard_batch
 
         cfg = self.cfg
@@ -600,6 +664,21 @@ class T2VPipeline:
         if zero1 is None:
             zero1 = self.encode_text([neg])
             self._negative_cache[neg] = zero1
+
+        if not force_batched and b > 1 and jax.device_count() == 1:
+            frames_seq, lat_seq = [], []
+            for i in range(b):
+                r = self.generate(
+                    prompts[i], steps=steps, guide_scale=guide_scale,
+                    use_gs_refine=use_gs_refine, seed=seed + i,
+                    elevation=elevation, camera_distance=camera_distance,
+                    y_words=y_words[i:i + 1], negative_words=zero1,
+                )
+                frames_seq.append(r["frames"])
+                lat_seq.append(r["latents"][0])
+            return {"frames": np.stack(frames_seq),
+                    "latents": np.stack(lat_seq)}
+
         zero_y = jnp.broadcast_to(zero1, (b,) + zero1.shape[1:])
 
         cam1, gs_rays, gs_cv, gs_cvp = self._get_cameras(elevation, camera_distance)

@@ -268,10 +268,30 @@ class T2VTrainer:
             lgm_params=replicate(self.mesh, lgm_params),
             opt_state=replicate(self.mesh, jax.jit(self.optimizer.init)(lgm_params)),
         )
+        # Frozen-tree storage dtype. The UNet/VAE/LPIPS trees take no
+        # gradient (reference freeze, train_i2v_enterance.py:162-165) and
+        # every compute path casts weights to the module dtype in-program,
+        # so when compute is bf16, bf16 STORAGE is numerically identical
+        # (same round-to-nearest cast) while halving ~6 GB of fp32
+        # residency — the margin that lets the 512² 'big'-LGM refine smoke
+        # fit the 16 GB v5e (PERF.md round 4). `frozen_dtype: float32`
+        # opts out (and is the default under fp32 compute).
+        fd = str(cfg.get(
+            "frozen_dtype",
+            "bfloat16" if self.dtype == jnp.bfloat16 else "float32")).lower()
+        if fd in ("bfloat16", "bf16") and self.dtype == jnp.bfloat16:
+            def _cast(tree):
+                return jax.tree_util.tree_map(
+                    lambda l: l.astype(jnp.bfloat16)
+                    if hasattr(l, "dtype") and l.dtype == jnp.float32 else l,
+                    tree)
+        else:
+            def _cast(tree):
+                return tree
         self.frozen = (
-            replicate(self.mesh, unet_params),
-            replicate(self.mesh, self.params["vae"]),
-            replicate(self.mesh, lpips_params),
+            replicate(self.mesh, _cast(unet_params)),
+            replicate(self.mesh, _cast(self.params["vae"])),
+            replicate(self.mesh, _cast(lpips_params)),
         )
         apply_fn = make_i2v_apply(self.unet) if self.is_i2v else make_t2v_apply(self.unet)
         self.refine_step = build_lgm_refine_step(
