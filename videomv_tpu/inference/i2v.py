@@ -22,7 +22,7 @@ from ..diffusion.samplers import ddim_sample_loop
 from ..models.clip import VIT_MEAN, VIT_STD
 from ..models.unet_i2v import UNetSD_I2VGen
 from ..parallel.infer import replicate_params, shard_on_axis
-from .pipeline import T2VPipeline, _pallas_kernels_disabled, unet_kwargs_from_cfg
+from .pipeline import T2VPipeline, _kernel_trace_ctx, unet_kwargs_from_cfg
 
 logger = logging.getLogger(__name__)
 
@@ -243,7 +243,7 @@ class I2VPipeline(T2VPipeline):
                 steps, guide_scale, use_gs_refine,
                 view_mesh=sp if use_gs_refine else None)
 
-        with _pallas_kernels_disabled(enabled=sp is not None):
+        with _kernel_trace_ctx(sp, "frame"):
             latents = self._samplers[key](
                 params, noise, y_words, neg, cam, local, y_visual, zero_img,
                 gs_rays, gs_cv, gs_cvp, sample_rng,

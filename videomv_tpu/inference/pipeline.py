@@ -55,6 +55,25 @@ from ..parallel.tp import place_params_tp
 logger = logging.getLogger(__name__)
 
 
+def _kernel_trace_ctx(mesh, kind: str):
+    """Trace-time kernel policy for serving meshes.
+
+    Single-axis meshes (frame-parallel 'sp', dp-batched 'dp') KEEP the
+    Pallas kernels: both are row-local, so the call sites wrap them in
+    ``shard_map`` with row-local specs (ops/serving_mesh.py) and each
+    device runs the single-chip kernel on its shard — no GSPMD
+    partitioning rules needed. Composed ('sp','tp') meshes still trace
+    with the kernels disabled: tp shards attention HEADS via in-trace
+    constraints the opaque custom calls cannot participate in."""
+    if mesh is None:
+        return contextlib.nullcontext()
+    if len(mesh.axis_names) == 1:
+        from ..ops.serving_mesh import serving_kernel_mesh
+
+        return serving_kernel_mesh(mesh, mesh.axis_names[0], kind)
+    return _pallas_kernels_disabled()
+
+
 @contextlib.contextmanager
 def _pallas_kernels_disabled(enabled: bool = True):
     """Trace-time guard: the Pallas custom calls (flash attention, fused
@@ -609,11 +628,11 @@ class T2VPipeline:
                 steps, guide_scale, use_gs_refine,
                 view_mesh=sp if use_gs_refine else None)
 
-        with _pallas_kernels_disabled(enabled=sp is not None):
-            # Pallas custom calls (flash-attn, fused FFN) carry no GSPMD
-            # partitioning rules; tracing the frame-sharded layout must take
-            # the XLA paths instead (the env guards are read at trace time
-            # only — already-compiled executables are unaffected)
+        with _kernel_trace_ctx(sp, "frame"):
+            # frame-sharded traces keep the Pallas kernels via row-local
+            # shard_map wrapping (composed sp×tp meshes disable them — see
+            # _kernel_trace_ctx); read at trace time only, compiled
+            # executables keep whatever they were traced with
             latents = self._samplers[key](
                 params, noise, y_words, negative_words, cam,
                 gs_rays, gs_cv, gs_cvp, sample_rng,
@@ -732,9 +751,9 @@ class T2VPipeline:
                 steps, guide_scale, use_gs_refine, b=b_run,
                 view_mesh=dp_mesh if use_gs_refine else None,
                 view_mesh_axis="dp", view_mesh_dim="batch")
-        with _pallas_kernels_disabled(enabled=dp_mesh is not None):
-            # same trace-time rule as frame-parallel: Pallas custom calls
-            # can't be GSPMD-partitioned, batch-dim sharding included
+        with _kernel_trace_ctx(dp_mesh, "batch"):
+            # batch-sharded traces keep the Pallas kernels the same way
+            # (row-local shard_map over the dp axis)
             latents = self._samplers[key](
                 params, noise, y_words, zero_y, cam,
                 gs_rays, gs_cv, gs_cvp, sample_rng,

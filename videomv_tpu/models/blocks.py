@@ -139,11 +139,17 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dropout: float = 0.0
+    # which lead dim of x carries FRAMES — 0 in the spatial transformers
+    # (frames-in-batch rows), 1 in the temporal ones (frames are the token
+    # axis). Consulted only when a sharded serving trace is active
+    # (ops/serving_mesh.py) so the fused kernel can run per frame shard.
+    frame_dim: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         from ..ops.fused_ffn import ffn_eligible, geglu_ffn
+        from ..ops.serving_mesh import kernel_mesh_for, shard_map_rows
 
         inner = int(self.dim * self.mult)
         c_in = x.shape[-1]
@@ -157,7 +163,27 @@ class FeedForward(nn.Module):
         t = 1
         for s in lead:
             t *= int(s)
-        use_fused = deterministic and ffn_eligible(t, c_in, inner, dt)
+        km = kernel_mesh_for(x.shape, frame_dim=self.frame_dim) \
+            if deterministic else None
+        n_shards = km[0].shape[km[1]] if km is not None else 1
+        # the kernel each shard runs sees t/n rows — gate on what it sees
+        use_fused = deterministic and ffn_eligible(t // n_shards, c_in, inner, dt)
+        if use_fused and km is not None:
+            mesh, axis, dim = km
+
+            def local_ffn(xl, w1l, b1l, w2l, b2l):
+                tl = 1
+                for s in xl.shape[:-1]:
+                    tl *= int(s)
+                out = geglu_ffn(xl.reshape(tl, c_in), w1l, b1l, w2l, b2l)
+                return out.reshape(*xl.shape[:-1], self.dim)
+
+            # row-local over the sharded dim (weights replicated): per-shard
+            # execution is exact, no collectives
+            return shard_map_rows(
+                local_ffn, mesh, axis, (dim, None, None, None, None),
+            )(x.astype(dt), w1.astype(dt), b1.astype(jnp.float32),
+              w2.astype(dt), b2.astype(jnp.float32))
         if use_fused:
             out = geglu_ffn(
                 x.reshape(t, c_in).astype(dt),
@@ -182,6 +208,9 @@ class BasicTransformerBlock(nn.Module):
     context_dim: Optional[int] = None
     dropout: float = 0.0
     disable_self_attn: bool = False
+    # frames' position in x's lead dims (see FeedForward.frame_dim): 0 when
+    # hosted by a spatial transformer, 1 when temporal (frames = tokens)
+    frame_dim: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -215,9 +244,9 @@ class BasicTransformerBlock(nn.Module):
         )(h, context, deterministic, attn_mask if context is None else None)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")(
-            h, deterministic
-        )
+        x = x + FeedForward(self.dim, dropout=self.dropout,
+                            frame_dim=self.frame_dim, dtype=self.dtype,
+                            name="ff")(h, deterministic)
         return x
 
 
@@ -263,8 +292,13 @@ class SpatialTransformer(nn.Module):
                 fused_spatial_transformer,
                 spatial_fused_eligible,
             )
+            from ..ops.serving_mesh import serving_ctx_active
 
-            if spatial_fused_eligible(hh * ww, c, inner, self.n_heads):
+            # the opt-in whole-block kernel has no shard_map wrapping —
+            # sharded serving traces must take the module path (whose
+            # attention/FFN kernels DO wrap; ops/serving_mesh.py)
+            if (not serving_ctx_active()
+                    and spatial_fused_eligible(hh * ww, c, inner, self.n_heads)):
                 p = self.variables["params"]
                 out = fused_spatial_transformer(
                     x.reshape(bf, hh * ww, c), context, p, self.n_heads
@@ -328,6 +362,7 @@ class TemporalTransformer(nn.Module):
                 d_head=self.d_head,
                 context_dim=None,
                 dropout=self.dropout,
+                frame_dim=1,  # frames are the token axis here
                 dtype=self.dtype,
                 name=f"transformer_blocks_{d}",
             )(h, None, deterministic)
@@ -554,6 +589,7 @@ class TemporalTransformerAttemask(nn.Module):
                 d_head=self.d_head,
                 context_dim=None,
                 dropout=self.dropout,
+                frame_dim=1,  # frames are the token axis here
                 dtype=self.dtype,
                 name=f"transformer_blocks_{d}",
             )(h, None, deterministic, attn_mask=causal)

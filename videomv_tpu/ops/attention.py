@@ -63,10 +63,21 @@ def dot_product_attention(
     if bias is None and mask is None and _pallas_eligible(q, k):
         try:
             from .flash_attention import flash_attention
-
-            return flash_attention(q, k, v)
+            from .serving_mesh import kernel_mesh_for, shard_map_rows
         except ImportError:
             pass
+        else:
+            # sharded serving trace: run the kernel per shard under
+            # shard_map (exact — each (batch·head) grid cell is
+            # independent; dim 0 is the frames-in-batch axis for every
+            # pallas-eligible attention in this model)
+            km = kernel_mesh_for(q.shape, frame_dim=0)
+            if km is not None:
+                mesh, axis, dim = km
+                return shard_map_rows(
+                    flash_attention, mesh, axis, (dim, dim, dim)
+                )(q, k, v)
+            return flash_attention(q, k, v)
     return _reference_attention(q, k, v, bias=bias, mask=mask)
 
 
