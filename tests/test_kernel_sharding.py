@@ -16,7 +16,7 @@ import videomv_tpu.ops.attention as attn_mod
 import videomv_tpu.ops.flash_attention as fa
 import videomv_tpu.ops.fused_ffn as ffn_mod
 from videomv_tpu.ops.serving_mesh import (
-    kernel_mesh_for,
+    kernel_specs_for,
     serving_ctx_active,
     serving_kernel_mesh,
 )
@@ -43,21 +43,40 @@ def interpret_kernels(monkeypatch):
 def test_ctx_helpers():
     mesh = _mesh()
     assert not serving_ctx_active()
-    assert kernel_mesh_for((16, 64, 2, 32), 0) is None
+    assert kernel_specs_for((16, 64, 2, 32), 0) is None
     with serving_kernel_mesh(mesh, "sp", "frame"):
         assert serving_ctx_active()
-        m, ax, dim = kernel_mesh_for((16, 64, 2, 32), 0)
-        assert m is mesh and ax == "sp" and dim == 0
+        m, spec = kernel_specs_for((16, 64, 2, 32), 0)
+        assert m is mesh and spec == {0: "sp"}
         # frames on dim 1 (temporal layout)
-        _, _, dim = kernel_mesh_for((128, 8, 64), 1)
-        assert dim == 1
+        _, spec = kernel_specs_for((128, 8, 64), 1)
+        assert spec == {1: "sp"}
         # non-divisible sharded dim -> no wrap
-        assert kernel_mesh_for((13, 64, 2, 32), 0) is None
+        assert kernel_specs_for((13, 64, 2, 32), 0) is None
     assert not serving_ctx_active()
     with serving_kernel_mesh(mesh, "sp", "batch"):
         # batch kind always shards dim 0, whatever frame_dim says
-        _, _, dim = kernel_mesh_for((16, 8, 64), 1)
-        assert dim == 0
+        _, spec = kernel_specs_for((16, 8, 64), 1)
+        assert spec == {0: "sp"}
+
+
+def test_ctx_helpers_composed():
+    """Composed ('sp','tp') context: frames over sp, attention heads over
+    tp where the head count divides; failing dims drop out individually."""
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("sp", "tp"))
+    with serving_kernel_mesh(mesh, "sp", "frame", head_axis="tp"):
+        # both gates pass: rows over sp, heads over tp
+        _, spec = kernel_specs_for((16, 64, 8, 32), 0, head_dim=2)
+        assert spec == {0: "sp", 2: "tp"}
+        # odd head count (5): head gate fails, row-only wrap remains
+        _, spec = kernel_specs_for((16, 64, 5, 32), 0, head_dim=2)
+        assert spec == {0: "sp"}
+        # FFN-style call (no head_dim): row-only
+        _, spec = kernel_specs_for((16, 64, 320), 0)
+        assert spec == {0: "sp"}
+        # nothing shards -> None (caller takes the XLA path)
+        assert kernel_specs_for((13, 64, 5, 32), 0, head_dim=2) is None
 
 
 def test_flash_attention_sharded_matches_reference(interpret_kernels):
@@ -124,24 +143,57 @@ def test_frame_parallel_pipeline_keeps_kernels(interpret_kernels):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_composed_tp_mesh_still_disables_kernels():
-    """_kernel_trace_ctx narrows the disable to composed ('sp','tp')
-    meshes: 1-axis meshes enter the serving ctx, 2-axis meshes set the
-    disable env flags."""
-    import os
-
+def test_composed_tp_mesh_keeps_kernels():
+    """_kernel_trace_ctx enters the serving ctx for 1-axis AND composed
+    ('sp','tp') meshes (round-4: the tp head axis rides shard_map too —
+    flash attention is head-local)."""
     from videomv_tpu.inference.pipeline import _kernel_trace_ctx
 
     sp = _mesh()
     with _kernel_trace_ctx(sp, "frame"):
         assert serving_ctx_active()
-        assert not os.environ.get("VIDEOMV_DISABLE_PALLAS_ATTN")
+        assert kernel_specs_for((16, 64, 8, 32), 0, head_dim=2)[1] == {0: "sp"}
     devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
     sptp = Mesh(devices, axis_names=("sp", "tp"))
     with _kernel_trace_ctx(sptp, "frame"):
-        assert not serving_ctx_active()
-        assert os.environ.get("VIDEOMV_DISABLE_PALLAS_ATTN") == "1"
-    assert not os.environ.get("VIDEOMV_DISABLE_PALLAS_ATTN")
+        assert serving_ctx_active()
+        assert kernel_specs_for((16, 64, 8, 32), 0, head_dim=2)[1] == \
+            {0: "sp", 2: "tp"}
     with _kernel_trace_ctx(None, "frame"):
         assert not serving_ctx_active()
-        assert not os.environ.get("VIDEOMV_DISABLE_PALLAS_ATTN")
+
+
+def test_flash_attention_head_sharded_matches_reference(interpret_kernels):
+    """Composed ('sp','tp') mesh: attention wraps rows over sp AND heads
+    over tp; output equals the XLA reference."""
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("sp", "tp"))
+    b, s, h, d = 8, 64, 4, 32
+    rng = jax.random.PRNGKey(3)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(rng, i), (b, s, h, d), jnp.float32)
+        for i in range(3)
+    )
+    want = attn_mod._reference_attention(q, k, v)
+    with serving_kernel_mesh(mesh, "sp", "frame", head_axis="tp"):
+        got = jax.jit(attn_mod.dot_product_attention)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tp_serving_pipeline_keeps_kernels(interpret_kernels):
+    """End-to-end: generate(frame_parallel=True) with serving_tp=2 (a 4x2
+    sp*tp mesh) traced with the kernels ACTIVE matches the single-device
+    run — the last kernels-off-on-meshes case is closed."""
+    from videomv_tpu.config import load_inference_config
+    from videomv_tpu.inference.pipeline import T2VPipeline
+
+    cfg = load_inference_config("configs/t2v_infer_tiny.yaml")
+    cfg.serving_tp = 2
+    pipe = T2VPipeline(cfg, seed=0)
+    pipe.init_params(load=False)
+    base = pipe.generate("a chair", steps=2, seed=5)
+    fp = pipe.generate("a chair", steps=2, seed=5, frame_parallel=True)
+    assert pipe._sp_mesh is not None and pipe._sp_mesh.axis_names == ("sp", "tp")
+    np.testing.assert_allclose(fp["latents"], base["latents"],
+                               rtol=2e-4, atol=2e-5)

@@ -56,22 +56,22 @@ logger = logging.getLogger(__name__)
 
 
 def _kernel_trace_ctx(mesh, kind: str):
-    """Trace-time kernel policy for serving meshes.
-
-    Single-axis meshes (frame-parallel 'sp', dp-batched 'dp') KEEP the
-    Pallas kernels: both are row-local, so the call sites wrap them in
-    ``shard_map`` with row-local specs (ops/serving_mesh.py) and each
-    device runs the single-chip kernel on its shard — no GSPMD
-    partitioning rules needed. Composed ('sp','tp') meshes still trace
-    with the kernels disabled: tp shards attention HEADS via in-trace
-    constraints the opaque custom calls cannot participate in."""
+    """Trace-time kernel policy for serving meshes: every mesh KEEPS the
+    Pallas kernels via grid-local ``shard_map`` wrapping at the call sites
+    (ops/serving_mesh.py). Single-axis meshes (frame-parallel 'sp',
+    dp-batched 'dp') wrap row-locally; composed ('sp','tp') meshes
+    additionally shard attention HEADS over tp wherever the level's head
+    count divides (flash attention is head-local — same gate as
+    parallel/tp.py's projection sharding, so the specs match GSPMD's
+    placement). Call sites that cannot wrap fall back to the XLA
+    compositions on sharded traces."""
     if mesh is None:
         return contextlib.nullcontext()
-    if len(mesh.axis_names) == 1:
-        from ..ops.serving_mesh import serving_kernel_mesh
+    from ..ops.serving_mesh import serving_kernel_mesh
 
+    if len(mesh.axis_names) == 1:
         return serving_kernel_mesh(mesh, mesh.axis_names[0], kind)
-    return _pallas_kernels_disabled()
+    return serving_kernel_mesh(mesh, "sp", kind, head_axis="tp")
 
 
 @contextlib.contextmanager

@@ -149,7 +149,11 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         from ..ops.fused_ffn import ffn_eligible, geglu_ffn
-        from ..ops.serving_mesh import kernel_mesh_for, shard_map_rows
+        from ..ops.serving_mesh import (
+            kernel_specs_for,
+            serving_ctx_active,
+            shard_map_kernel,
+        )
 
         inner = int(self.dim * self.mult)
         c_in = x.shape[-1]
@@ -163,13 +167,18 @@ class FeedForward(nn.Module):
         t = 1
         for s in lead:
             t *= int(s)
-        km = kernel_mesh_for(x.shape, frame_dim=self.frame_dim) \
+        # row-sharded only (never over a tp head axis — the FFN weights
+        # stay replicated under tp, parallel/tp.py): head_dim omitted
+        km = kernel_specs_for(x.shape, frame_dim=self.frame_dim) \
             if deterministic else None
-        n_shards = km[0].shape[km[1]] if km is not None else 1
+        n_shards = 1
+        if km is not None:
+            mesh, spec = km
+            for d, ax in spec.items():
+                n_shards *= mesh.shape[ax]
         # the kernel each shard runs sees t/n rows — gate on what it sees
         use_fused = deterministic and ffn_eligible(t // n_shards, c_in, inner, dt)
         if use_fused and km is not None:
-            mesh, axis, dim = km
 
             def local_ffn(xl, w1l, b1l, w2l, b2l):
                 tl = 1
@@ -180,10 +189,14 @@ class FeedForward(nn.Module):
 
             # row-local over the sharded dim (weights replicated): per-shard
             # execution is exact, no collectives
-            return shard_map_rows(
-                local_ffn, mesh, axis, (dim, None, None, None, None),
+            return shard_map_kernel(
+                local_ffn, mesh, (spec, None, None, None, None),
             )(x.astype(dt), w1.astype(dt), b1.astype(jnp.float32),
               w2.astype(dt), b2.astype(jnp.float32))
+        if use_fused and serving_ctx_active():
+            # serving mesh active but rows don't shard: the bare custom
+            # call would face GSPMD unwrapped — take the XLA composition
+            use_fused = False
         if use_fused:
             out = geglu_ffn(
                 x.reshape(t, c_in).astype(dt),

@@ -63,21 +63,26 @@ def dot_product_attention(
     if bias is None and mask is None and _pallas_eligible(q, k):
         try:
             from .flash_attention import flash_attention
-            from .serving_mesh import kernel_mesh_for, shard_map_rows
+            from .serving_mesh import kernel_specs_for, shard_map_kernel
         except ImportError:
             pass
         else:
             # sharded serving trace: run the kernel per shard under
             # shard_map (exact — each (batch·head) grid cell is
-            # independent; dim 0 is the frames-in-batch axis for every
-            # pallas-eligible attention in this model)
-            km = kernel_mesh_for(q.shape, frame_dim=0)
+            # independent; dim 0 is the frames-in-batch axis and dim 2 the
+            # heads axis for every pallas-eligible attention in this model)
+            km = kernel_specs_for(q.shape, frame_dim=0, head_dim=2)
             if km is not None:
-                mesh, axis, dim = km
-                return shard_map_rows(
-                    flash_attention, mesh, axis, (dim, dim, dim)
+                mesh, spec = km
+                return shard_map_kernel(
+                    flash_attention, mesh, (spec, spec, spec)
                 )(q, k, v)
-            return flash_attention(q, k, v)
+            from .serving_mesh import serving_ctx_active
+
+            if not serving_ctx_active():
+                return flash_attention(q, k, v)
+            # serving mesh active but no dim can shard: the bare custom
+            # call would face GSPMD unwrapped — take the XLA path
     return _reference_attention(q, k, v, bias=bias, mask=mask)
 
 

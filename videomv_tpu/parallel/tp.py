@@ -25,9 +25,12 @@ propagates the layout through the unchanged jitted sampler:
   ``value · gelu(gate)`` would reshard every call — so the FFN is left
   replicated rather than sharded badly.
 
-Like all serving meshes here, tp traces take the XLA attention path (the
-Pallas custom calls carry no GSPMD partitioning rules — pipeline.py's
-``_pallas_kernels_disabled``).
+tp traces keep the Pallas flash-attention kernel: it is head-local, so the
+call site wraps it in ``shard_map`` with heads sharded over tp at exactly
+the levels this module's head gate shards the projections
+(ops/serving_mesh.py; levels that fail the gate wrap on the frame axis
+alone). The fused GEGLU-FFN stays row-wrapped only — its weights are
+replicated under tp (see above).
 """
 
 from __future__ import annotations
