@@ -120,3 +120,102 @@ def test_lgm_refine_training_step():
     np.testing.assert_allclose(
         float(loss_lp), float(loss) + 0.5 * lp_term, rtol=1e-5
     )
+
+
+def test_lgm_refine_view_chunked_matches_unchunked():
+    """view_chunk + per-block LGM remat (the 512²-fit memory levers,
+    PERF.md round 4) are numerically exact: same loss/aux and same updated
+    params as the plain all-views step."""
+    from videomv_tpu.models.lpips import LPIPS
+
+    mesh = make_mesh(8)
+    f, hw, S = 4, 16, 16
+
+    unet = UNetSD_T2VBase(
+        in_dim=4, dim=32, y_dim=16, context_dim=16, out_dim=4, dim_mult=(1,),
+        num_heads=1, head_dim=32, num_res_blocks=1, attn_scales=(1.0,),
+        dropout=0.0, use_camera_condition=False, temporal_attention=False,
+    )
+    from videomv_tpu.models.autoencoder import AutoencoderKL
+
+    vae = AutoencoderKL(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    diffusion = GaussianDiffusion(
+        schedule="linear_sd",
+        schedule_param=dict(num_timesteps=100, init_beta=0.00085, last_beta=0.0120),
+        mean_type="eps", var_type="fixed_small",
+    )
+
+    b = 8
+    rng = jax.random.PRNGKey(10)
+    latents = jax.random.normal(rng, (b, 4, f, hw, hw)) * 0.2
+    y = jax.random.normal(jax.random.fold_in(rng, 1), (b, 3, 16))
+    unet_params = jax.jit(unet.init)(
+        jax.random.fold_in(rng, 2), latents, jnp.zeros((b,), jnp.int32), y=y
+    )
+    img_size = hw * 2
+    vae_params = jax.jit(vae.init)(
+        jax.random.fold_in(rng, 3), jnp.zeros((1, 3, img_size, img_size))
+    )
+    lgm_plain = LGM(opt=TINY_LGM)
+    lgm_remat = LGM(opt=TINY_LGM, use_checkpoint=True)
+    lgm_in = jnp.zeros((1, 2, 9, TINY_LGM.input_size, TINY_LGM.input_size))
+    lgm_params = jax.jit(lgm_plain.init)(jax.random.fold_in(rng, 4), lgm_in)
+    # remat is a lifted transform: the param tree is unchanged
+    chex_tree = jax.eval_shape(lgm_remat.init, jax.random.PRNGKey(0), lgm_in)
+    assert jax.tree_util.tree_structure(chex_tree) == \
+        jax.tree_util.tree_structure(lgm_params)
+
+    st = GSCameraSettings(input_size=TINY_LGM.input_size, output_size=TINY_LGM.output_size)
+    cams = prepare_gs_training(orbit_c2w_opengl(f, 0, 2.0), st, ray_size=TINY_LGM.input_size)
+    R = TINY_LGM.output_size
+    batch = {
+        "latents": latents,
+        "y_words": y,
+        "gs_rays": jnp.broadcast_to(jnp.asarray(cams["input_rays"]), (b, f, 6, S, S)),
+        "cam_view": jnp.broadcast_to(jnp.asarray(cams["cam_view"]), (b, f, 4, 4)),
+        "cam_view_proj": jnp.broadcast_to(jnp.asarray(cams["cam_view_proj"]), (b, f, 4, 4)),
+        "images_gt": jnp.full((b, f, 3, R, R), 0.4),
+        "masks_gt": jnp.ones((b, f, 1, R, R)) * 0.5,
+    }
+    lpips = LPIPS()
+    probe = jnp.zeros((1, 3, R, R))
+    lpips_params = jax.jit(lpips.init)(jax.random.fold_in(rng, 5), probe, probe)
+    frozen = (
+        replicate(mesh, unet_params),
+        replicate(mesh, vae_params),
+        replicate(mesh, lpips_params),
+    )
+    # SGD: param diff is lr·(grad diff), directly proportional — adam's
+    # g/(√v+ε) amplifies float-reassociation noise in near-zero grads
+    # into O(lr) update flips, which is optimizer sensitivity, not a
+    # chunking error (loss/aux equality below pins the math itself)
+    opt = optax.sgd(1e-2)
+
+    def run(lgm_mod, view_chunk):
+        state = LGMTrainState(
+            step=jnp.zeros((), jnp.int32),
+            lgm_params=replicate(
+                mesh, jax.tree_util.tree_map(lambda x: x + 0.0, lgm_params)
+            ),
+            opt_state=replicate(mesh, jax.jit(opt.init)(lgm_params)),
+        )
+        step = build_lgm_refine_step(
+            make_t2v_apply(unet), vae, lgm_mod, diffusion, opt, mesh,
+            n_input_views=2, n_supervise_extra=1,  # nv = 3 supervision views
+            render_size=R, splat_backend="dense", lpips=lpips,
+            lambda_lpips=0.5, view_chunk=view_chunk,
+        )
+        state, loss, aux = step(state, frozen, shard_batch(mesh, batch), rng)
+        return state, float(loss), aux
+
+    s0, loss0, aux0 = run(lgm_plain, view_chunk=0)
+    s1, loss1, aux1 = run(lgm_remat, view_chunk=1)
+
+    np.testing.assert_allclose(loss1, loss0, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(aux1["loss_lpips"]), float(aux0["loss_lpips"]), rtol=1e-6)
+    np.testing.assert_allclose(float(aux1["psnr"]), float(aux0["psnr"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1.lgm_params),
+                     jax.tree_util.tree_leaves(s0.lgm_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)

@@ -162,9 +162,19 @@ class LGMUNet(nn.Module):
     skip_scale: float = float(np.sqrt(0.5))
     num_frames: int = 4
     dtype: Dtype = jnp.float32
+    # Rematerialize each block in the backward pass. The 512²-render refine
+    # finetune (reference output_size=512, core/options.py:92-103) doesn't
+    # fit the v5e's 16 GB with all ~60 intra-block activations of the
+    # 256²-input encoder stored; per-block remat keeps only the skip list
+    # (needed anyway) at ~30 % extra LGM forward FLOPs.
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ResBlock, Attn = LGMResnetBlock, MVAttention
+        if self.use_checkpoint:
+            ResBlock = nn.remat(LGMResnetBlock)
+            Attn = nn.remat(MVAttention)
         x = nn.Conv(self.down_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
 
         xss = [x]
@@ -173,12 +183,12 @@ class LGMUNet(nn.Module):
             cin = cout
             cout = ch
             for j in range(self.layers_per_block):
-                x = LGMResnetBlock(
+                x = ResBlock(
                     cin if j == 0 else cout, cout, skip_scale=self.skip_scale,
                     dtype=self.dtype, name=f"down_blocks_{i}_nets_{j}",
                 )(x)
                 if self.down_attention[i]:
-                    x = MVAttention(
+                    x = Attn(
                         cout, num_frames=self.num_frames, skip_scale=self.skip_scale,
                         dtype=self.dtype, name=f"down_blocks_{i}_attns_{j}",
                     )(x)
@@ -192,13 +202,13 @@ class LGMUNet(nn.Module):
 
         # mid (core/unet.py:150-181): res, then [attn, res] per layer
         mid_ch = self.down_channels[-1]
-        x = LGMResnetBlock(mid_ch, mid_ch, skip_scale=self.skip_scale,
+        x = ResBlock(mid_ch, mid_ch, skip_scale=self.skip_scale,
                            dtype=self.dtype, name="mid_block_nets_0")(x)
         if self.mid_attention:
-            x = MVAttention(mid_ch, num_frames=self.num_frames,
+            x = Attn(mid_ch, num_frames=self.num_frames,
                             skip_scale=self.skip_scale, dtype=self.dtype,
                             name="mid_block_attns_0")(x)
-        x = LGMResnetBlock(mid_ch, mid_ch, skip_scale=self.skip_scale,
+        x = ResBlock(mid_ch, mid_ch, skip_scale=self.skip_scale,
                            dtype=self.dtype, name="mid_block_nets_1")(x)
 
         # up (asymmetric skip selection, core/unet.py:272-286, 308-312)
@@ -215,12 +225,12 @@ class LGMUNet(nn.Module):
                 res_x = xs[-1]
                 xs = xs[:-1]
                 x = jnp.concatenate([x, res_x], axis=-1)
-                x = LGMResnetBlock(
+                x = ResBlock(
                     c_in_layer + res_x.shape[-1], cout, skip_scale=self.skip_scale,
                     dtype=self.dtype, name=f"up_blocks_{i}_nets_{j}",
                 )(x)
                 if self.up_attention[i]:
-                    x = MVAttention(
+                    x = Attn(
                         cout, num_frames=self.num_frames, skip_scale=self.skip_scale,
                         dtype=self.dtype, name=f"up_blocks_{i}_attns_{j}",
                     )(x)
@@ -247,6 +257,7 @@ class LGM(nn.Module):
 
     opt: LGMOptions = LGMOptions.big()
     dtype: Dtype = jnp.float32
+    use_checkpoint: bool = False  # per-block remat (512² refine finetune)
 
     def setup(self):
         self.unet = LGMUNet(
@@ -259,6 +270,7 @@ class LGM(nn.Module):
             up_attention=self.opt.up_attention,
             num_frames=self.opt.num_input_views,
             dtype=self.dtype,
+            use_checkpoint=self.use_checkpoint,
         )
         self.conv = nn.Conv(14, (1, 1), dtype=self.dtype)
 

@@ -232,7 +232,15 @@ class T2VTrainer:
         else:  # dict of LGMOptions kwargs (tiny test configs)
             kw = {k: tuple(v) if isinstance(v, list) else v for k, v in dict(preset).items()}
             opts = LGMOptions(**kw)
-        self.lgm = LGM(opt=opts, dtype=self.dtype)
+        # Memory levers for the reference-scale 512² refine finetune
+        # (core/options.py:92-103): per-block LGM remat + chunked
+        # supervision rendering default ON at output_size≥512 — without
+        # both, the step's temp footprint alone is ~7.4 GiB and the v5e
+        # OOMs (PERF.md round 4, probe_lgm512_mem).
+        big_render = int(opts.output_size) >= 512
+        lgm_remat = bool(cfg.get("lgm_use_checkpoint", big_render))
+        view_chunk = int(cfg.get("refine_view_chunk", 2 if big_render else 0))
+        self.lgm = LGM(opt=opts, dtype=self.dtype, use_checkpoint=lgm_remat)
         s = opts.input_size
         lgm_in = jnp.zeros((1, opts.num_input_views, 9, s, s))
         lgm_params = jax.jit(self.lgm.init)(jax.random.PRNGKey(7), lgm_in)
@@ -303,6 +311,7 @@ class T2VTrainer:
             splat_backend=str(cfg.get("splat_backend", "auto")),
             lpips=self.lpips,
             lambda_lpips=float(cfg.get("lambda_lpips", opts.lambda_lpips)),
+            view_chunk=view_chunk,
         )
 
     def _gs_features(self, host_batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:

@@ -57,6 +57,7 @@ def build_lgm_refine_step(
     splat_backend: str = "auto",
     lpips=None,
     lambda_lpips: float = 1.0,
+    view_chunk: int = 0,
 ):
     """Create the jitted LGM-finetune step.
 
@@ -69,6 +70,14 @@ def build_lgm_refine_step(
     ``frozen`` tuple gains its params as a fourth element and the loss adds
     ``lambda_lpips * LPIPS(pred, gt)`` on ≤256² bilinear-resized [-1,1]
     views (reference core/models.py:167-184, lambda_lpips=1.0).
+
+    ``view_chunk`` > 0 splits the supervision views into chunks of that
+    size and runs render+losses as a rematerialized ``lax.scan`` over
+    chunks: peak memory holds ONE chunk's render/VGG activations instead
+    of all 8 views' (the lever that fits the 512² refine finetune into the
+    v5e's 16 GB). Numerically identical to the unchunked loss (equal-size
+    chunks ⇒ mean of chunk means == global mean); gradients accumulate
+    into the 3.7 MB gaussians tensor across scan steps. 0 disables.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
@@ -115,34 +124,61 @@ def build_lgm_refine_step(
         bg = jax.random.uniform(bg_rng, (3,))
         cv = jnp.take(batch["cam_view"], sup_idxs, axis=1)
         cvp = jnp.take(batch["cam_view_proj"], sup_idxs, axis=1)
-        out = render_gaussians(
-            gaussians, cv, cvp, bg_color=bg, img_size=render_size,
-            fovy_deg=fovy_deg, backend=splat_backend,
-        )
         gt_img = jnp.take(batch["images_gt"], sup_idxs, axis=1)
         gt_mask = jnp.take(batch["masks_gt"], sup_idxs, axis=1)
         gt_img = gt_img * gt_mask + bg.reshape(1, 1, 3, 1, 1) * (1 - gt_mask)
+        nv = cv.shape[1]
 
-        loss_img = jnp.mean((out["image"] - gt_img) ** 2)
-        loss_alpha = jnp.mean((out["alpha"] - gt_mask) ** 2)
-        loss = loss_img + loss_alpha
-        loss_lpips = jnp.zeros(())
-        if lpips is not None and lambda_lpips > 0:
-            # reference core/models.py:172-181: views flattened, mapped to
-            # [-1,1], bilinear-resized to ≤256² before the VGG tower
-            nv = out["image"].shape[1]
-            lp_size = min(256, render_size)
-            pred = out["image"].reshape(b * nv, 3, render_size, render_size)
-            gt = gt_img.reshape(b * nv, 3, render_size, render_size)
-            if render_size != lp_size:
-                shape = (b * nv, 3, lp_size, lp_size)
-                pred = jax.image.resize(pred, shape, method="bilinear")
-                gt = jax.image.resize(gt, shape, method="bilinear")
-            loss_lpips = jnp.mean(
-                lpips.apply(lpips_params, gt * 2.0 - 1.0, pred * 2.0 - 1.0)
+        def chunk_losses(cv_c, cvp_c, gt_img_c, gt_mask_c):
+            out = render_gaussians(
+                gaussians, cv_c, cvp_c, bg_color=bg, img_size=render_size,
+                fovy_deg=fovy_deg, backend=splat_backend,
             )
-            loss = loss + lambda_lpips * loss_lpips
-        psnr = -10.0 * jnp.log10(jnp.mean((out["image"] - gt_img) ** 2) + 1e-12)
+            l_img = jnp.mean((out["image"] - gt_img_c) ** 2)
+            l_alpha = jnp.mean((out["alpha"] - gt_mask_c) ** 2)
+            l_lp = jnp.zeros(())
+            if lpips is not None and lambda_lpips > 0:
+                # reference core/models.py:172-181: views flattened, mapped
+                # to [-1,1], bilinear-resized to ≤256² before the VGG tower
+                vc = out["image"].shape[1]
+                lp_size = min(256, render_size)
+                pred = out["image"].reshape(b * vc, 3, render_size, render_size)
+                gt = gt_img_c.reshape(b * vc, 3, render_size, render_size)
+                if render_size != lp_size:
+                    shape = (b * vc, 3, lp_size, lp_size)
+                    pred = jax.image.resize(pred, shape, method="bilinear")
+                    gt = jax.image.resize(gt, shape, method="bilinear")
+                l_lp = jnp.mean(
+                    lpips.apply(lpips_params, gt * 2.0 - 1.0, pred * 2.0 - 1.0)
+                )
+            return l_img, l_alpha, l_lp
+
+        if 0 < view_chunk < nv and nv % view_chunk == 0:
+            # rematerialized scan over view chunks: one chunk's render/VGG
+            # residuals live at a time; grads accumulate into `gaussians`
+            nc = nv // view_chunk
+
+            def split(x):  # [B, V, ...] -> [nc, B, Vc, ...]
+                return jnp.moveaxis(
+                    x.reshape(x.shape[0], nc, view_chunk, *x.shape[2:]), 1, 0
+                )
+
+            def body(carry, x):
+                li, la, lp = chunk_losses(*x)
+                return (carry[0] + li, carry[1] + la, carry[2] + lp), None
+
+            zero = jnp.zeros(())
+            (s_img, s_alpha, s_lp), _ = jax.lax.scan(
+                jax.checkpoint(body), (zero, zero, zero),
+                tuple(split(a) for a in (cv, cvp, gt_img, gt_mask)),
+            )
+            # equal-size chunks ⇒ mean of chunk means == global mean
+            loss_img, loss_alpha, loss_lpips = s_img / nc, s_alpha / nc, s_lp / nc
+        else:
+            loss_img, loss_alpha, loss_lpips = chunk_losses(cv, cvp, gt_img, gt_mask)
+
+        loss = loss_img + loss_alpha + lambda_lpips * loss_lpips
+        psnr = -10.0 * jnp.log10(loss_img + 1e-12)
         return loss, {"psnr": psnr, "loss_lpips": loss_lpips}
 
     @functools.partial(
