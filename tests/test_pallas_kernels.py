@@ -255,6 +255,27 @@ class TestFusedSpatial:
             rtol=2e-2, atol=3e-2,
         )
 
+    def test_kernel_multirow_bf16_res_matches_reference(self, setup, monkeypatch):
+        """The VERDICT-r3 #8 experiment arms (rows-per-cell > 1, bf16
+        residual carriers) must stay numerically faithful to the oracle."""
+        mod, x4, ctx, params = setup
+        import videomv_tpu.ops.fused_spatial as fs
+
+        monkeypatch.setattr(fs, "INTERPRET", True)
+        monkeypatch.setenv("VIDEOMV_FUSED_SPATIAL_ROWS", "2")
+        monkeypatch.setenv("VIDEOMV_FUSED_SPATIAL_BF16_RES", "1")
+        r, hh, ww, c = x4.shape
+        want = fs.spatial_block_reference(
+            x4.reshape(r, hh * ww, c), ctx, params["params"], mod.n_heads
+        )
+        got = fs._fst_impl(
+            x4.reshape(r, hh * ww, c), ctx, params["params"], mod.n_heads
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=4e-2,
+        )
+
 
 def test_expand_tiers_bit_identical(interpret_kernels):
     """The three pair-expansion tiers (single packed cummax / two-cummax /

@@ -104,8 +104,35 @@ def _spatial_kernel(
     wpo, bpo,
     o_ref,
     *, heads: int, kv_len: int, groups: int,
+    rows: int = 1, res_dtype=jnp.float32,
 ):
-    x = x_ref[0]                       # [S, C] bf16
+    # rows > 1: the block carries `rows` images; the body unrolls over
+    # them (VERDICT-r3 #8 experiment — fewer grid cells, bigger DMAs).
+    # res_dtype=bf16 narrows the inter-op residual carriers to halve the
+    # block's VMEM (the "bf16 residuals" arm; matches the module path's
+    # bf16 residual stream, the fp32 default is strictly tighter).
+    for rb in range(rows):
+        _spatial_row(
+            x_ref[rb], ctx_ref[rb if ctx_ref.shape[0] > 1 else 0],
+            gn_s, gn_b, win, bin_,
+            ln1_s, ln1_b, wq1, wk1, wv1, wo1, bo1,
+            ln2_s, ln2_b, wq2, wk2, wv2, wo2, bo2,
+            ln3_s, ln3_b, w1a, w1b, b1a, b1b, w2, b2,
+            wpo, bpo, o_ref, rb,
+            heads=heads, kv_len=kv_len, groups=groups, res_dtype=res_dtype,
+        )
+
+
+def _spatial_row(
+    x, ctx,
+    gn_s, gn_b, win, bin_,
+    ln1_s, ln1_b, wq1, wk1, wv1, wo1, bo1,
+    ln2_s, ln2_b, wq2, wk2, wv2, wo2, bo2,
+    ln3_s, ln3_b, w1a, w1b, b1a, b1b, w2, b2,
+    wpo, bpo,
+    o_ref, o_row: int,
+    *, heads: int, kv_len: int, groups: int, res_dtype,
+):
     s_len, c = x.shape
     scale = (wq1.shape[2]) ** -0.5     # d_head^-0.5
 
@@ -139,9 +166,11 @@ def _spatial_kernel(
         h.astype(jnp.bfloat16), win[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bin_[...]                                        # [S, I] f32
+    r0 = r0.astype(res_dtype)
 
     # ---- self-attention (attn1)
-    t1 = _layernorm(r0, ln1_s[...], ln1_b[...]).astype(jnp.bfloat16)
+    t1 = _layernorm(
+        r0.astype(jnp.float32), ln1_s[...], ln1_b[...]).astype(jnp.bfloat16)
     ks1, vs1 = [], []
     for hh in range(heads):
         ks1.append(jax.lax.dot_general(
@@ -152,12 +181,12 @@ def _spatial_kernel(
             t1, wv1[hh], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16))
-    r1 = r0 + _attn(t1, ks1, vs1, wq1[...], wo1[...], bo1[...],
-                    heads=heads, kv_len=s_len, scale=scale)
+    r1 = (r0 + _attn(t1, ks1, vs1, wq1[...], wo1[...], bo1[...],
+                     heads=heads, kv_len=s_len, scale=scale)).astype(res_dtype)
 
-    # ---- cross-attention (attn2) against the text context
-    ctx = ctx_ref[0]                                     # [L, Cc] bf16
-    t2 = _layernorm(r1, ln2_s[...], ln2_b[...]).astype(jnp.bfloat16)
+    # ---- cross-attention (attn2) against the text context ([L, Cc] bf16)
+    t2 = _layernorm(
+        r1.astype(jnp.float32), ln2_s[...], ln2_b[...]).astype(jnp.bfloat16)
     ks2, vs2 = [], []
     for hh in range(heads):
         ks2.append(jax.lax.dot_general(
@@ -168,14 +197,15 @@ def _spatial_kernel(
             ctx, wv2[hh], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16))
-    r2 = r1 + _attn(t2, ks2, vs2, wq2[...], wo2[...], bo2[...],
-                    heads=heads, kv_len=kv_len, scale=scale)
+    r2 = (r1 + _attn(t2, ks2, vs2, wq2[...], wo2[...], bo2[...],
+                     heads=heads, kv_len=kv_len, scale=scale)).astype(res_dtype)
 
     # ---- GEGLU FF, token-chunked so the [chunk, 4C] temps stay small
     ff_chunks = []
     for c0 in range(0, s_len, _FF_CHUNK):
         rc = r2[c0:c0 + _FF_CHUNK]
-        t3 = _layernorm(rc, ln3_s[...], ln3_b[...]).astype(jnp.bfloat16)
+        t3 = _layernorm(
+            rc.astype(jnp.float32), ln3_s[...], ln3_b[...]).astype(jnp.bfloat16)
         lin = jax.lax.dot_general(
             t3, w1a[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -189,15 +219,15 @@ def _spatial_kernel(
             g.astype(jnp.bfloat16), w2[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b2[...])
-    r3 = r2 + (jnp.concatenate(ff_chunks, axis=0)
-               if len(ff_chunks) > 1 else ff_chunks[0])
+    r3 = (r2 + (jnp.concatenate(ff_chunks, axis=0)
+                if len(ff_chunks) > 1 else ff_chunks[0])).astype(res_dtype)
 
     # ---- proj_out + outer residual
     y = jax.lax.dot_general(
         r3.astype(jnp.bfloat16), wpo[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bpo[...]
-    o_ref[0] = (xf + y).astype(o_ref.dtype)
+    o_ref[o_row] = (xf + y).astype(o_ref.dtype)
 
 
 def _split_heads_out(w, heads):
@@ -261,18 +291,31 @@ def _fst_impl(
     def const2(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
+    # Experiment knobs (VERDICT-r3 #8, measured in scripts/spatial_ab_tpu.py):
+    # rows-per-grid-cell and bf16 residual carriers. Defaults reproduce the
+    # shipped single-row fp32-residual kernel bit-for-bit.
+    import os
+
+    rows = int(os.environ.get("VIDEOMV_FUSED_SPATIAL_ROWS", "1"))
+    if rows < 1 or r % rows != 0:
+        rows = 1
+    res_dtype = (jnp.bfloat16
+                 if os.environ.get("VIDEOMV_FUSED_SPATIAL_BF16_RES")
+                 else jnp.float32)
+
     in_specs = [
-        pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, l_pad, cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, l_pad, cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ] + [const2(a) for a in args[2:]]
 
     out = pl.pallas_call(
         functools.partial(
-            _spatial_kernel, heads=n_heads, kv_len=kv_len, groups=32
+            _spatial_kernel, heads=n_heads, kv_len=kv_len, groups=32,
+            rows=rows, res_dtype=res_dtype,
         ),
-        grid=(r,),
+        grid=(r // rows,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rows, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, s, c), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * s * c * c * 8 + 4 * r * s * s * c,
