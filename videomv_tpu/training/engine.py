@@ -308,6 +308,8 @@ class T2VTrainer:
             n_input_views=int(opts.num_input_views),
             n_supervise_extra=max(int(opts.num_views) - int(opts.num_input_views), 0),
             render_size=int(opts.output_size), fovy_deg=float(opts.fovy),
+            ray_size=int(opts.input_size),
+            znear=float(opts.znear), zfar=float(opts.zfar),
             splat_backend=str(cfg.get("splat_backend", "auto")),
             lpips=self.lpips,
             lambda_lpips=float(cfg.get("lambda_lpips", opts.lambda_lpips)),
@@ -315,45 +317,71 @@ class T2VTrainer:
         )
 
     def _gs_features(self, host_batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
-        """GS supervision block for the refine step: rays + colmap matrices +
-        full-res ground-truth views. Falls back to deriving everything from
-        ``camera_data``/``video`` when the dataset carries no gs_data
-        (synthetic smoke path)."""
+        """GS supervision block for the refine step.
+
+        Default wire (``gs_wire_cameras: true``): ONLY the ground-truth
+        views/masks cross host→device — as uint8 when ``wire_uint8`` is on
+        (exact for the 8-bit dataset sources) — and the refine step derives
+        rays + colmap matrices in-program from ``camera_data``
+        (ops/gs_cameras.py). At bs=1/f=24/512² that cuts the per-step
+        upload from ~163 MB to ~25 MB. ``gs_wire_cameras: false`` restores
+        the host-side camera prep (dataset gs_data, or derived from
+        ``camera_data`` for the synthetic smoke path)."""
         opts = self.lgm.opt
+        wire_u8 = bool(self.cfg.get("wire_uint8", True))
+        dev_cams = (
+            bool(self.cfg.get("gs_wire_cameras", True))
+            and "camera_data" in host_batch
+        )
+        host_cams = None
         if "gs_data" in host_batch:
             gs = host_batch["gs_data"]
-            rays, cv, cvp = gs["input"], gs["cam_view"], gs["cam_view_proj"]
             imgs, masks = gs["images_output"], gs["masks_output"]
+            if not dev_cams:
+                host_cams = (gs["input"], gs["cam_view"], gs["cam_view_proj"])
         else:
-            from ..data.cameras import GSCameraSettings, prepare_gs_training
-
-            st = GSCameraSettings(
-                input_size=opts.input_size, output_size=opts.output_size,
-                fovy=opts.fovy, znear=opts.znear, zfar=opts.zfar,
-            )
-            cams = np.asarray(host_batch["camera_data"])
-            per = [
-                prepare_gs_training(cams[i][None], st, ray_size=opts.input_size)
-                for i in range(cams.shape[0])
-            ]  # canonicalization is per-item (pose 0 of each sample)
-            rays = np.concatenate([g["input_rays"] for g in per])
-            cv = np.concatenate([g["cam_view"] for g in per])
-            cvp = np.concatenate([g["cam_view_proj"] for g in per])
             imgs = np.asarray(host_batch["video"]) * 0.5 + 0.5
             masks = np.asarray(
                 host_batch.get("mask", np.ones_like(imgs[:, :, :1]))
             )
+            if not dev_cams:
+                from ..data.cameras import GSCameraSettings, prepare_gs_training
+
+                st = GSCameraSettings(
+                    input_size=opts.input_size, output_size=opts.output_size,
+                    fovy=opts.fovy, znear=opts.znear, zfar=opts.zfar,
+                )
+                cams = np.asarray(host_batch["camera_data"])
+                per = [
+                    prepare_gs_training(cams[i][None], st, ray_size=opts.input_size)
+                    for i in range(cams.shape[0])
+                ]  # canonicalization is per-item (pose 0 of each sample)
+                host_cams = (
+                    np.concatenate([g["input_rays"] for g in per]),
+                    np.concatenate([g["cam_view"] for g in per]),
+                    np.concatenate([g["cam_view_proj"] for g in per]),
+                )
+        imgs, masks = np.asarray(imgs), np.asarray(masks)
+        if wire_u8 and imgs.dtype != np.uint8:
+            imgs = np.clip(imgs * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+            masks = np.clip(masks * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
         imgs, masks = jnp.asarray(imgs), jnp.asarray(masks)
         r = int(opts.output_size)
         if imgs.shape[-1] != r:
+            if imgs.dtype == jnp.uint8:  # resize in float; wire stays uint8
+                imgs = imgs.astype(jnp.float32) / 255.0
+                masks = masks.astype(jnp.float32) / 255.0
             b, f = imgs.shape[:2]
             imgs = jax.image.resize(imgs, (b, f, 3, r, r), method="bilinear")
             masks = jax.image.resize(masks, (b, f, 1, r, r), method="bilinear")
-        return {
-            "gs_rays": jnp.asarray(rays), "cam_view": jnp.asarray(cv),
-            "cam_view_proj": jnp.asarray(cvp),
-            "images_gt": imgs, "masks_gt": masks,
-        }
+        out = {"images_gt": imgs, "masks_gt": masks}
+        if host_cams is not None:
+            out.update({
+                "gs_rays": jnp.asarray(host_cams[0]),
+                "cam_view": jnp.asarray(host_cams[1]),
+                "cam_view_proj": jnp.asarray(host_cams[2]),
+            })
+        return out
 
     # -------------------------------------------------------------- data
 

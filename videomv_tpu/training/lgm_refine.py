@@ -30,6 +30,9 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.gaussian_splat import render_gaussians
+from ..ops.gs_cameras import (
+    canonical_gs_poses, colmap_from_poses, plucker_rays_dev, proj_matrix,
+)
 
 # imagenet normalization for the LGM input (reference unet_t2v.py:383-385)
 _VID_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
@@ -54,6 +57,9 @@ def build_lgm_refine_step(
     n_supervise_extra: int = 4,
     render_size: int = 256,
     fovy_deg: float = 39.6,
+    ray_size: int = 256,
+    znear: float = 0.5,
+    zfar: float = 2.5,
     splat_backend: str = "auto",
     lpips=None,
     lambda_lpips: float = 1.0,
@@ -62,9 +68,16 @@ def build_lgm_refine_step(
     """Create the jitted LGM-finetune step.
 
     batch dict: ``latents`` [B,4,F,h,w], ``y_words``, optional
-    ``camera_data``, and the gs supervision block: ``gs_rays`` [B,F,6,S,S],
-    ``cam_view``/``cam_view_proj`` [B,F,4,4], ``images_gt`` [B,F,3,R,R]
-    in [0,1], ``masks_gt`` [B,F,1,R,R].
+    ``camera_data``, and the gs supervision block: ``images_gt``
+    [B,F,3,R,R] in [0,1] (or uint8 [0,255] — converted on device so the
+    host→device wire stays 4× thinner), ``masks_gt`` [B,F,1,R,R] (same
+    dtype rule), plus EITHER host-prepared ``gs_rays`` [B,F,6,S,S] +
+    ``cam_view``/``cam_view_proj`` [B,F,4,4], OR nothing — when
+    ``gs_rays`` is absent the step derives rays and colmap matrices
+    in-program from ``camera_data`` (ops/gs_cameras.py), replacing a
+    ~38 MB/sample fp32 upload with math on a tensor already shipped for
+    UNet conditioning. ``ray_size``/``znear``/``zfar`` configure that
+    derivation (LGMOptions input_size/znear/zfar).
 
     ``lpips`` is an optional ``models.lpips.LPIPS`` module; when given, the
     ``frozen`` tuple gains its params as a fourth element and the loss adds
@@ -83,6 +96,7 @@ def build_lgm_refine_step(
     data = NamedSharding(mesh, P("dp"))
     vid_mean = jnp.asarray(_VID_MEAN).reshape(1, 1, 3, 1, 1)
     vid_std = jnp.asarray(_VID_STD).reshape(1, 1, 3, 1, 1)
+    proj = proj_matrix(fovy_deg, znear, zfar)
 
     def loss_fn(lgm_params, frozen, batch, rng):
         unet_params, vae_params = frozen[0], frozen[1]
@@ -105,10 +119,24 @@ def build_lgm_refine_step(
         extra = jax.random.permutation(e_rng, f)[:n_supervise_extra]
         sup_idxs = jnp.concatenate([extra, idxs])  # reference order :389-396
 
+        if "gs_rays" in batch:
+            rays = jnp.take(batch["gs_rays"], idxs, axis=1)
+            cv = jnp.take(batch["cam_view"], sup_idxs, axis=1)
+            cvp = jnp.take(batch["cam_view_proj"], sup_idxs, axis=1)
+        else:
+            # derive the splat cameras in-program from the 16-float camera
+            # conditioning (already on device) — see ops/gs_cameras.py
+            poses = canonical_gs_poses(batch["camera_data"])
+            rays = plucker_rays_dev(
+                jnp.take(poses, idxs, axis=1), ray_size, fovy_deg
+            )
+            cv, cvp, _ = colmap_from_poses(
+                jnp.take(poses, sup_idxs, axis=1), proj
+            )
+
         dec = jnp.take(fake_x0, idxs, axis=2)
         dec = dec.transpose(0, 2, 1, 3, 4).reshape(b * n_input_views, 4, *dec.shape[-2:])
         imgs = vae.apply(vae_params, dec / scale_factor, method=vae.decode)
-        rays = jnp.take(batch["gs_rays"], idxs, axis=1)
         ray_hw = rays.shape[-1]
         if imgs.shape[-1] != ray_hw:
             imgs = jax.image.resize(
@@ -122,10 +150,12 @@ def build_lgm_refine_step(
 
         # random background like LGM training (core/models.py:151-152)
         bg = jax.random.uniform(bg_rng, (3,))
-        cv = jnp.take(batch["cam_view"], sup_idxs, axis=1)
-        cvp = jnp.take(batch["cam_view_proj"], sup_idxs, axis=1)
         gt_img = jnp.take(batch["images_gt"], sup_idxs, axis=1)
         gt_mask = jnp.take(batch["masks_gt"], sup_idxs, axis=1)
+        if gt_img.dtype == jnp.uint8:
+            gt_img = gt_img.astype(jnp.float32) / 255.0
+        if gt_mask.dtype == jnp.uint8:
+            gt_mask = gt_mask.astype(jnp.float32) / 255.0
         gt_img = gt_img * gt_mask + bg.reshape(1, 1, 3, 1, 1) * (1 - gt_mask)
         nv = cv.shape[1]
 
