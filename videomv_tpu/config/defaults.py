@@ -127,7 +127,7 @@ def default_cfg() -> dict:
             "fix_weight": False,
             "grad_scale": 0.2,
             "resume_checkpoint": "models/jiuniu_0267000.pth",
-            "sd_keys_path": "models/stable_diffusion_image_key_temporal_attention_x1.json",
+            "sd_keys_path": "data/stable_diffusion_image_key_temporal_attention_x1.json",
         },
         # visualization / logging
         "viz_interval": 1000,

@@ -94,12 +94,19 @@ def map_torch_to_flax(
     flax_params,
     rename: Optional[Callable[[str], Optional[str]]] = None,
     strict: bool = False,
+    materialize: bool = True,
 ):
     """Match a torch state dict onto a flax params template.
 
     ``rename(torch_key) -> normalized key | None`` lets callers strip
     prefixes or drop keys.  Returns ``(new_params, report)`` where report
     lists matched/missing/unexpected/shape-mismatched keys.
+
+    ``materialize=False`` runs the full key-matching and shape-transpose
+    checks but never allocates converted tensors — ``flax_params`` may then
+    be a ``jax.eval_shape`` template and ``torch_sd`` zero-stride fakes,
+    which makes shipped-scale (1.4B-param) coverage audits near-free
+    (tests/test_shipped_scale_convert.py). Returns the template unchanged.
     """
     flat = _flatten_flax(flax_params)
     new_leaves: Dict[Tuple, np.ndarray] = {}
@@ -136,7 +143,10 @@ def map_torch_to_flax(
         if conv is None:
             report["mismatched"].append((tkey, tuple(np.shape(tens)), tuple(np.shape(template))))
             continue
-        new_leaves[path] = jnp.asarray(conv, dtype=jnp.result_type(template))
+        if materialize:
+            new_leaves[path] = jnp.asarray(conv, dtype=jnp.result_type(template))
+        else:
+            new_leaves[path] = None  # coverage bookkeeping only
         report["matched"].append(tkey)
 
     for joined, (path, template) in flat.items():
@@ -151,6 +161,9 @@ def map_torch_to_flax(
             f"missing={report['missing'][:5]} unexpected={report['unexpected'][:5]} "
             f"mismatched={report['mismatched'][:3]}"
         )
+
+    if not materialize:
+        return flax_params, report
 
     def rebuild(path_prefix, node):
         # reconstruct pytree with replaced leaves
@@ -169,7 +182,7 @@ def map_torch_to_flax(
 # --------------------------------------------------------------- per-model
 
 
-def convert_unet(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = False):
+def convert_unet(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = False, materialize: bool = True):
     """Map a UNetSD_T2VBase/I2VGen ``.pth`` state dict (keys like
     ``input_blocks.1.0.in_layers.2.weight``) onto our UNet params.
     LGM submodule weights (``lgm_big.*``) are routed separately."""
@@ -183,10 +196,10 @@ def convert_unet(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = Fa
         # them out_0/out_2 already (underscore normalization handles this)
         return k
 
-    return map_torch_to_flax(torch_sd, flax_params, rename=rename, strict=strict)
+    return map_torch_to_flax(torch_sd, flax_params, rename=rename, strict=strict, materialize=materialize)
 
 
-def convert_vae(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = False):
+def convert_vae(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = False, materialize: bool = True):
     """SD KL-VAE (keys ``encoder.down.0.block.0.norm1.weight``,
     ``first_stage_model.``-prefixed in full SD dumps — prefix stripped like
     reference autoencoder.py:65-74)."""
@@ -198,7 +211,7 @@ def convert_vae(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = Fal
             return None
         return k
 
-    return map_torch_to_flax(torch_sd, flax_params, rename=rename, strict=strict)
+    return map_torch_to_flax(torch_sd, flax_params, rename=rename, strict=strict, materialize=materialize)
 
 
 def _split_in_proj(torch_sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -217,7 +230,7 @@ def _split_in_proj(torch_sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
-def convert_open_clip(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = False):
+def convert_open_clip(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = False, materialize: bool = True):
     """OpenCLIP ViT-H-14 ``open_clip_pytorch_model.bin`` → OpenCLIPTextVisual.
 
     Text keys are unprefixed in the torch dict (``transformer.resblocks...``,
@@ -236,10 +249,10 @@ def convert_open_clip(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool
         # raw params need explicit leaf names
         return "text." + k
 
-    return map_torch_to_flax(torch_sd, flax_params, rename=rename, strict=strict)
+    return map_torch_to_flax(torch_sd, flax_params, rename=rename, strict=strict, materialize=materialize)
 
 
-def convert_lgm(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = False):
+def convert_lgm(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = False, materialize: bool = True):
     """LGM ``model.safetensors`` (keys ``unet.down_blocks...``/``conv.weight``)
     or the ``lgm_big.``-prefixed subtree of a UNet checkpoint."""
 
@@ -250,4 +263,4 @@ def convert_lgm(torch_sd: Dict[str, np.ndarray], flax_params, strict: bool = Fal
             return None
         return k
 
-    return map_torch_to_flax(torch_sd, flax_params, rename=rename, strict=strict)
+    return map_torch_to_flax(torch_sd, flax_params, rename=rename, strict=strict, materialize=materialize)
