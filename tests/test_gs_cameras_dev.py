@@ -211,3 +211,41 @@ def test_engine_gs_features_wire_modes():
     feats = _Stub({"gs_wire_cameras": False, "wire_uint8": False}, opts)._gs_features(host_batch)
     assert {"gs_rays", "cam_view", "cam_view_proj"} <= set(feats)
     assert feats["images_gt"].dtype == jnp.float32
+
+    # camera-less gs_data (dataset prepare_gs_cameras=False) + legacy wire:
+    # host cams must be re-derived from camera_data, not KeyError
+    slim = dict(host_batch)
+    slim["gs_data"] = {k: host_batch["gs_data"][k]
+                       for k in ("images_output", "masks_output")}
+    feats2 = _Stub({"gs_wire_cameras": False, "wire_uint8": False}, opts)._gs_features(slim)
+    assert {"gs_rays", "cam_view", "cam_view_proj"} <= set(feats2)
+    np.testing.assert_allclose(
+        np.asarray(feats2["cam_view"]), np.asarray(feats["cam_view"]), atol=1e-5
+    )
+
+
+def test_dataset_prepare_gs_cameras_off_skips_host_chain():
+    """With the device camera wire on, the dataset must not burn host CPU on
+    the ~37 MB Plücker-ray prep it would immediately discard (advisor r4)."""
+    from videomv_tpu.data.datasets import GObjaverseVideoDataset
+
+    f = 4
+    cams = orbit_c2w_opengl(f, 15.0, 2.0).reshape(f, 16).astype(np.float32)
+    imgs = np.full((f, 3, 16, 16), 0.25, np.float32)
+    masks = np.ones((f, 1, 16, 16), np.float32)
+
+    ds = GObjaverseVideoDataset(
+        data_list=[], data_dir_list=[],
+        gs_settings=GSCameraSettings(input_size=16, output_size=16),
+        prepare_gs_cameras=False,
+    )
+    slim = ds.prepare_gs(cams, imgs, masks)
+    assert set(slim) == {"images_output", "masks_output"}
+
+    ds_full = GObjaverseVideoDataset(
+        data_list=[], data_dir_list=[],
+        gs_settings=GSCameraSettings(input_size=16, output_size=16),
+    )
+    full = ds_full.prepare_gs(cams, imgs, masks)
+    assert {"input", "cam_view", "cam_view_proj", "cam_pos"} <= set(full)
+    np.testing.assert_array_equal(full["images_output"], slim["images_output"])

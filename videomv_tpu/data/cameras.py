@@ -125,14 +125,12 @@ class GSCameraSettings:
     def proj_matrix(self) -> np.ndarray:
         """Row-major perspective matrix as built in core/gs.py:24-29 (note the
         reference composes it as ``cam_view @ proj`` with row-vector
-        convention)."""
-        m = np.zeros((4, 4), dtype=np.float32)
-        m[0, 0] = 1.0 / self.tan_half_fov
-        m[1, 1] = 1.0 / self.tan_half_fov
-        m[2, 2] = (self.zfar + self.znear) / (self.zfar - self.znear)
-        m[3, 2] = -(self.zfar * self.znear) / (self.zfar - self.znear)
-        m[2, 3] = 1.0
-        return m
+        convention). Single source of truth: ops.gs_cameras.proj_matrix —
+        the device-side camera derivation uses the same function, so a
+        znear/zfar/convention tweak cannot desync the two chains."""
+        from ..ops.gs_cameras import proj_matrix
+
+        return proj_matrix(self.fovy, self.znear, self.zfar)
 
 
 def orbit_camera_for_t2v(num_frames: int = 24, elevation: float = 15,

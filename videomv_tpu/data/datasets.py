@@ -82,6 +82,12 @@ class GObjaverseVideoDataset:
     # supervised at output_size=512); 0 falls back to `resolution`
     gs_full_size: int = 512
     gs_settings: GSCameraSettings = field(default_factory=GSCameraSettings)
+    # When the trainer derives rays/colmap matrices ON DEVICE from the
+    # 16-float camera conditioning (engine gs_wire_cameras, the default),
+    # the host-side prepare_gs camera chain (~37 MB fp32 Plücker rays +
+    # numpy matrix inversions per item) is dead weight on the single host
+    # core — False packages only the GT frames/masks (advisor r4 medium).
+    prepare_gs_cameras: bool = True
     replica: int = 1000
     seed: int = 0
 
@@ -145,6 +151,11 @@ class GObjaverseVideoDataset:
         chain (reference video_dataset.py:103-144; see cameras.py note on
         the inference-chain discrepancy). ``images01`` [F,3,R,R] in [0,1] and
         ``masks`` [F,1,R,R] are the (full-resolution) supervision targets."""
+        if not self.prepare_gs_cameras:
+            return {
+                "images_output": images01.astype(np.float32),
+                "masks_output": masks.astype(np.float32),
+            }
         from .cameras import prepare_gs_training
 
         gs = prepare_gs_training(

@@ -65,7 +65,11 @@ def make_mesh(
     if len(axis_names) == 1:
         dev_array = np.asarray(devices)
     else:
-        raise NotImplementedError("only dp meshes needed for parity; tp/pp later")
+        raise NotImplementedError(
+            "make_mesh builds 1-D dp/fsdp meshes; for tensor-parallel or "
+            "composed serving meshes use parallel.tp.tensor_parallel_mesh "
+            "(sp/tp/sp×tp) instead"
+        )
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 

@@ -321,8 +321,12 @@ class T2VTrainer:
 
         Default wire (``gs_wire_cameras: true``): ONLY the ground-truth
         views/masks cross host→device — as uint8 when ``wire_uint8`` is on
-        (exact for the 8-bit dataset sources) — and the refine step derives
-        rays + colmap matrices in-program from ``camera_data``
+        (lossy but negligible: sources are 8-bit, but after the dataset's
+        resize-to-gs_full_size + alpha compositing the frames/continuous
+        masks are float, so quantizing re-introduces ≤1/510 per-pixel
+        error; set ``wire_uint8: false`` for a bit-exact fp32 wire) — and
+        the refine step derives rays + colmap matrices in-program from
+        ``camera_data``
         (ops/gs_cameras.py). At bs=1/f=24/512² that cuts the per-step
         upload from ~163 MB to ~25 MB. ``gs_wire_cameras: false`` restores
         the host-side camera prep (dataset gs_data, or derived from
@@ -337,30 +341,33 @@ class T2VTrainer:
         if "gs_data" in host_batch:
             gs = host_batch["gs_data"]
             imgs, masks = gs["images_output"], gs["masks_output"]
-            if not dev_cams:
+            if not dev_cams and "input" in gs:
                 host_cams = (gs["input"], gs["cam_view"], gs["cam_view_proj"])
         else:
             imgs = np.asarray(host_batch["video"]) * 0.5 + 0.5
             masks = np.asarray(
                 host_batch.get("mask", np.ones_like(imgs[:, :, :1]))
             )
-            if not dev_cams:
-                from ..data.cameras import GSCameraSettings, prepare_gs_training
+        if not dev_cams and host_cams is None:
+            # host camera chain, derived from the conditioning tensor (same
+            # LGMOptions geometry the device derivation uses, so the two
+            # wire modes cannot silently diverge — advisor r4)
+            from ..data.cameras import GSCameraSettings, prepare_gs_training
 
-                st = GSCameraSettings(
-                    input_size=opts.input_size, output_size=opts.output_size,
-                    fovy=opts.fovy, znear=opts.znear, zfar=opts.zfar,
-                )
-                cams = np.asarray(host_batch["camera_data"])
-                per = [
-                    prepare_gs_training(cams[i][None], st, ray_size=opts.input_size)
-                    for i in range(cams.shape[0])
-                ]  # canonicalization is per-item (pose 0 of each sample)
-                host_cams = (
-                    np.concatenate([g["input_rays"] for g in per]),
-                    np.concatenate([g["cam_view"] for g in per]),
-                    np.concatenate([g["cam_view_proj"] for g in per]),
-                )
+            st = GSCameraSettings(
+                input_size=opts.input_size, output_size=opts.output_size,
+                fovy=opts.fovy, znear=opts.znear, zfar=opts.zfar,
+            )
+            cams = np.asarray(host_batch["camera_data"])
+            per = [
+                prepare_gs_training(cams[i][None], st, ray_size=opts.input_size)
+                for i in range(cams.shape[0])
+            ]  # canonicalization is per-item (pose 0 of each sample)
+            host_cams = (
+                np.concatenate([g["input_rays"] for g in per]),
+                np.concatenate([g["cam_view"] for g in per]),
+                np.concatenate([g["cam_view_proj"] for g in per]),
+            )
         imgs, masks = np.asarray(imgs), np.asarray(masks)
         if wire_u8 and imgs.dtype != np.uint8:
             imgs = np.clip(imgs * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
@@ -393,6 +400,20 @@ class T2VTrainer:
             from ..data.datasets import GObjaverseI2VDataset
 
             ds_cls = GObjaverseI2VDataset if self.is_i2v else GObjaverseVideoDataset
+            extra = {}
+            lgm = getattr(self, "lgm", None)
+            if lgm is not None:
+                # one geometry source of truth: dataset GT prep and the
+                # device-side camera derivation both read LGMOptions
+                # (advisor r4: a config that diverged them was silent)
+                from ..data.cameras import GSCameraSettings
+
+                o = lgm.opt
+                extra["gs_settings"] = GSCameraSettings(
+                    fovy=float(o.fovy), znear=float(o.znear),
+                    zfar=float(o.zfar), input_size=int(o.input_size),
+                    output_size=int(o.output_size),
+                )
             ds = ds_cls(
                 data_list=vd.get("data_list", []),
                 data_dir_list=vd.get("data_dir_list", []),
@@ -400,6 +421,9 @@ class T2VTrainer:
                 resolution=tuple(vd.get("resolution", self.resolution)),
                 max_frames=self.max_frames,
                 prepare_lgm=bool(vd.get("prepare_lgm", False)),
+                # skip the dead host camera chain when the device wire is on
+                prepare_gs_cameras=not bool(self.cfg.get("gs_wire_cameras", True)),
+                **extra,
             )
             if len(ds.items) > 0:
                 return ds
