@@ -18,3 +18,16 @@ refinement) as an idiomatic JAX/Flax/Pallas stack:
 """
 
 __version__ = "0.1.0"
+
+# Pin the compile-cache key against tunnel-terminal rotations (axon-gated
+# no-op on every other backend; see utils/stable_cache.py for the full
+# why).  Import-time so every entry point — bench.py, the CLI entries,
+# scripts/ — gets warm starts without each wiring it up.  Opt out with
+# VIDEOMV_NO_STABLE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("VIDEOMV_NO_STABLE_CACHE"):
+    from .utils.stable_cache import install as _stable_cache_install
+
+    _stable_cache_install(verbose=False)
+del _os
