@@ -65,8 +65,7 @@ def main():
 
     # params are explicit jit arguments — closing over them would bake
     # ~5.6GB of weights into the program as constants and blow up compiles.
-    @jax.jit
-    def sample(params, noise, rng):
+    def sample_fn(params, noise, rng):
         def cfg_model(xt, t):
             x2 = jnp.concatenate([xt, xt], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
@@ -80,8 +79,7 @@ def main():
             guide_scale=9.0, rng=rng,
         )
 
-    @jax.jit
-    def decode(vae_params, lat):
+    def decode_fn(vae_params, lat):
         z = lat.transpose(0, 2, 1, 3, 4).reshape(b * f, 4, hw, hw) / 0.18215
         img = vae.apply(vae_params, z, method=vae.decode)
         return jnp.clip(img * 0.5 + 0.5, 0, 1)
@@ -89,17 +87,41 @@ def main():
     noise = jax.random.normal(jax.random.PRNGKey(7), x.shape)
     rng = jax.random.PRNGKey(11)
 
+    # tracing the 50-step sampler costs ~4.5 min per process on the 1-core
+    # host — reuse the serialized trace across processes (utils/traced_cache)
+    from videomv_tpu.utils.traced_cache import cached_trace
+
+    key = f"steps{steps}-b{b}-f{f}-hw{hw}"
     t0 = time.time()
-    out = decode(vae_params, sample(params, noise, rng))
-    jax.block_until_ready(out)
+    sample = cached_trace(sample_fn, (params, noise, rng), "bench_sample", extra_key=key)
+    # the sampler preserves the noise shape/dtype — spell it out instead of
+    # eval_shape(sample_fn, ...), which would retrace the whole sampler
+    lat_spec = jax.ShapeDtypeStruct(noise.shape, noise.dtype)
+    decode = cached_trace(decode_fn, (vae_params, lat_spec), "bench_decode", extra_key=key)
+    trace_time = time.time() - t0
+
+    # under the tunneled TPU, block_until_ready can return WITHOUT waiting
+    # on results dispatched through a deserialized-export call (measured:
+    # block 0.00s while the 8 s execution was still in flight) — a scalar
+    # host transfer is the only reliable sync, and doubles as a finiteness
+    # check on the output.
+    sums = []
+
+    def sync(x):
+        s = float(jnp.sum(x))
+        sums.append(s)
+        return s
+
+    t0 = time.time()
+    sync(decode(vae_params, sample(params, noise, rng)))
     compile_time = time.time() - t0
 
     lat = []
     for i in range(3):
         t0 = time.time()
-        out = decode(vae_params, sample(params, noise, jax.random.fold_in(rng, i)))
-        jax.block_until_ready(out)
+        sync(decode(vae_params, sample(params, noise, jax.random.fold_in(rng, i))))
         lat.append(time.time() - t0)
+    assert all(s == s for s in sums), f"non-finite bench output: {sums}"
 
     p50 = statistics.median(lat)
     target = 10.0  # BASELINE.md north star: <10 s / sample on one chip
@@ -112,10 +134,14 @@ def main():
         "ddim_steps_per_sec": round(steps / p50, 2),
         "batches_per_sec_per_chip": round(1.0 / p50, 4),
         "compile_s": round(compile_time, 1),
+        # host-side tracing+lowering+serialization (~4.5 min/process on the
+        # 1-core host when cold; ~1 s when the serialized trace is reused)
+        "trace_s": round(trace_time, 1),
         # first-call < 60s means the compile was served from cache (either
         # jax's persistent cache or the tunnel server's); cold compiles of
         # this program run O(10 min) through the tunneled compiler
         "compile_warm": compile_time < 60.0,
+        "trace_warm": trace_time < 60.0,
         "cache_entries_written": cache_files_after - cache_files_before,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

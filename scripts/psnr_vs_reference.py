@@ -99,7 +99,7 @@ ACCEPTANCE_OVERRIDES = {
 }
 
 
-def build_pipe(cfg_path, opts, fp32, seed, load, acceptance=False):
+def build_pipe(cfg_path, opts, fp32, seed, load, acceptance=False, ckpt_dir=None):
     import jax
 
     if fp32 or acceptance:
@@ -110,6 +110,8 @@ def build_pipe(cfg_path, opts, fp32, seed, load, acceptance=False):
     from videomv_tpu.inference import T2VPipeline
 
     cfg = load_inference_config(cfg_path, opts=list(opts))
+    if ckpt_dir:
+        _remap_ckpt_paths(cfg, ckpt_dir)
     if fp32:
         cfg["sampling_dtype"] = "float32"
     if acceptance:
@@ -117,6 +119,41 @@ def build_pipe(cfg_path, opts, fp32, seed, load, acceptance=False):
     pipe = T2VPipeline(cfg, seed=seed)
     pipe.init_params(load=load)
     return pipe
+
+
+def _remap_ckpt_paths(cfg, ckpt_dir):
+    """Point the config's checkpoint paths at ``ckpt_dir``.
+
+    Mirrors the reference layout: one directory holding the released files
+    (inference_text2video_entrance.py:137-144 loads cfg.test_model etc.).
+    Each path whose basename exists under ckpt_dir is remapped; if the
+    config's exact basename is absent but the dir holds exactly one
+    candidate for the family (``t2v``/``i2v`` → test_model, ``vae`` →
+    auto_encoder, ``clip``/``open_clip`` → embedder, ``lgm`` →
+    lgm_pretrain), that file is used — so synthetic exports with their own
+    names drive the same plumbing."""
+    import glob
+
+    def pick(cur, *family):
+        if cur:
+            cand = os.path.join(ckpt_dir, os.path.basename(str(cur)))
+            if os.path.exists(cand):
+                return cand
+        hits = sorted(
+            p for p in glob.glob(os.path.join(ckpt_dir, "*"))
+            if any(w in os.path.basename(p).lower() for w in family)
+        )
+        return hits[0] if len(hits) >= 1 else cur
+
+    cfg["test_model"] = pick(cfg.get("test_model"), "t2v", "i2v")
+    ae = cfg.get("auto_encoder", {})
+    ae["pretrained"] = pick(ae.get("pretrained"), "vae", "autoencoder")
+    cfg["auto_encoder"] = ae
+    emb = cfg.get("embedder", {})
+    emb["pretrained"] = pick(emb.get("pretrained"), "clip")
+    cfg["embedder"] = emb
+    if cfg.get("lgm_pretrain"):
+        cfg["lgm_pretrain"] = pick(cfg.get("lgm_pretrain"), "lgm")
 
 
 def main():
@@ -138,6 +175,12 @@ def main():
                          "(the reference writes both videos)")
     ap.add_argument("--self_consistency", action="store_true",
                     help="no weights needed: bf16-vs-fp32 drift bound")
+    ap.add_argument("--make_ref_dir", default=None,
+                    help="produce 'reference outputs' into this dir (view "
+                         "pngs per prompt) instead of scoring — the dry-run "
+                         "producer half of the acceptance plumbing")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="score only the first N prompts (0 = all)")
     ap.add_argument("--acceptance", action="store_true",
                     help="pin reference-exact semantics for the with-weights "
                          "acceptance run: gs_refine_uncond=full, the "
@@ -185,13 +228,10 @@ def main():
         }))
         return
 
-    if not args.ref_dir:
-        raise SystemExit("--ref_dir required (or use --self_consistency)")
-    opts = list(args.opts)
-    if args.ckpt_dir:
-        opts += [f"ckpt_dir={args.ckpt_dir}"]
-    pipe = build_pipe(args.cfg, opts, args.fp32, args.seed, load=True,
-                      acceptance=args.acceptance)
+    if not args.ref_dir and not args.make_ref_dir:
+        raise SystemExit("--ref_dir required (or --make_ref_dir / --self_consistency)")
+    pipe = build_pipe(args.cfg, args.opts, args.fp32, args.seed, load=True,
+                      acceptance=args.acceptance, ckpt_dir=args.ckpt_dir)
 
     prompts = ["a wooden chair"]
     if args.prompts and os.path.exists(args.prompts):
@@ -200,6 +240,30 @@ def main():
     elif pipe.cfg.get("test_list_path") and os.path.exists(pipe.cfg["test_list_path"]):
         with open(pipe.cfg["test_list_path"]) as f:
             prompts = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+    if args.limit:
+        prompts = prompts[: args.limit]
+
+    if args.make_ref_dir:
+        # Dry-run producer (VERDICT r4 next-#7): regenerate "reference
+        # outputs" on THIS stack under the acceptance semantics and write
+        # them in the layout the scorer expects (<i>/view_XX.png).  With
+        # real released weights this step instead comes from the reference
+        # stack on A100; here it proves the full produce→score plumbing.
+        from PIL import Image
+
+        for i, prompt in enumerate(prompts):
+            out = pipe.generate(prompt, steps=args.steps, seed=args.seed,
+                                use_gs_refine=args.refine)
+            d = os.path.join(args.make_ref_dir, str(i))
+            os.makedirs(d, exist_ok=True)
+            frames = np.asarray(out["frames"])
+            for v in range(frames.shape[0]):
+                Image.fromarray(frames[v]).save(
+                    os.path.join(d, f"view_{v:02d}.png"))
+            print(f"[{i}] wrote {frames.shape[0]} views for {prompt!r}")
+        print(json.dumps({"mode": "make_ref_dir", "dir": args.make_ref_dir,
+                          "prompts": len(prompts)}))
+        return
 
     rows, all_psnr = [], []
     for i, prompt in enumerate(prompts):

@@ -239,6 +239,7 @@ def test_vae_key_surface_matches_sd_layout():
 
 
 @pytest.mark.parity
+@pytest.mark.slow
 def test_load_weights_raises_on_mostly_unmatched_checkpoint(tmp_path):
     """A checkpoint that matches almost nothing must fail loudly instead of
     silently proceeding with random-init weights (pipeline.load_weights)."""

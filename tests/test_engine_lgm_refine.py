@@ -2,11 +2,14 @@
 build_lgm_refine_step through train() (reference train_i2v_enterance.py
 LGM-only finetune, :154-165)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow
 def test_engine_lgm_refine_mode():
     from videomv_tpu.config import load_config
     from videomv_tpu.training.engine import T2VTrainer

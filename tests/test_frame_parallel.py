@@ -39,6 +39,7 @@ def tiny_pipe():
     return pipe
 
 
+@pytest.mark.slow
 def test_frame_parallel_matches_single_device(tiny_pipe):
     pipe = tiny_pipe
     base = pipe.generate("a chair", steps=3, seed=5)
@@ -65,6 +66,7 @@ def test_sharded_forward_layout(tiny_pipe):
     assert p["w"].addressable_shards[0].data.shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_custom_negative_words_respected_under_fp(tiny_pipe):
     """A caller-supplied negative encoding must steer the CFG uncond row
     even under frame-parallel serving — the orbit placement cache must not
@@ -110,6 +112,7 @@ def test_weight_reload_invalidates_clip_caches(tiny_pipe):
     assert pipe._params_sp is None and pipe._params_dp is None
 
 
+@pytest.mark.slow
 def test_serving_tp_composed_mesh_parity():
     """cfg serving_tp=2 composes a ('sp','tp') mesh inside generate():
     frames over sp, attention heads over tp — one sample on sp*tp devices,

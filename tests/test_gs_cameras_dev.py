@@ -108,6 +108,7 @@ def _tiny_refine_setup():
             make_t2v_apply, replicate)
 
 
+@pytest.mark.slow
 def test_refine_step_device_cameras_match_host_wire():
     """The refine step with in-program camera derivation + uint8 GT wire
     reproduces the host-prepared-gs-block step bit-for-tolerance: same

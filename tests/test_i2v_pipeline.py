@@ -89,6 +89,7 @@ def probe_image(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_i2v_refine_shared_e2e(pipe_shared, probe_image):
     plain = pipe_shared.generate_from_image(probe_image, steps=STEPS, seed=3)
     assert plain["frames"].shape == (8, SIZE, SIZE, 3)
@@ -115,6 +116,7 @@ def test_i2v_refine_shared_deterministic(pipe_shared, probe_image):
     np.testing.assert_array_equal(a["latents"], b["latents"])
 
 
+@pytest.mark.slow
 def test_i2v_refine_full_mode_e2e(probe_image):
     pipe = _build_pipe("full")
     ref = pipe.generate_from_image(
@@ -138,6 +140,7 @@ def test_i2v_frame_parallel_matches_single_device(pipe_shared, probe_image):
     )
 
 
+@pytest.mark.slow
 def test_i2v_frame_parallel_with_refine(pipe_shared, probe_image):
     """fp + GS refine: the splat render runs as a shard_map over the view
     axis (each device rasterizes its local views); result must match the

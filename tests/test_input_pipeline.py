@@ -38,6 +38,7 @@ def tiny_trainer():
     return T2VTrainer(cfg).init()
 
 
+@pytest.mark.slow
 def test_uint8_wire_exact_for_8bit_sources(tiny_trainer):
     """u8 → fp32 [-1,1] → u8 wire → device normalize must reproduce the
     fp32 path bit-for-bit (same latents/text embeddings)."""
@@ -65,6 +66,7 @@ def test_uint8_wire_exact_for_8bit_sources(tiny_trainer):
                                   np.asarray(plain["y_words"]))
 
 
+@pytest.mark.slow
 def test_train_steps_with_pipeline(tiny_trainer):
     """End-to-end: prefetched uint8 pipeline feeds real train steps."""
     loss = tiny_trainer.train(num_steps=2, batch_size=2)

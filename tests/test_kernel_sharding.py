@@ -126,6 +126,7 @@ def test_feedforward_sharded_matches_unsharded(interpret_kernels):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_frame_parallel_pipeline_keeps_kernels(interpret_kernels):
     """End-to-end: generate(frame_parallel=True) traced with the kernels
     ACTIVE (interpreted) matches the single-device run — the round-3
@@ -181,6 +182,7 @@ def test_flash_attention_head_sharded_matches_reference(interpret_kernels):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_serving_pipeline_keeps_kernels(interpret_kernels):
     """End-to-end: generate(frame_parallel=True) with serving_tp=2 (a 4x2
     sp*tp mesh) traced with the kernels ACTIVE matches the single-device

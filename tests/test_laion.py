@@ -115,6 +115,7 @@ def test_make_image_dataset_brace_spec(shard_dir):
     assert ds is not None and len(ds.shards) == 3
 
 
+@pytest.mark.slow
 def test_joint_train_smoke(shard_dir):
     """Joint LAION+video training end-to-end: both the f=1 image stream and
     the f=4 video stream must actually feed train steps (reference

@@ -49,6 +49,7 @@ def test_lgm_output_shapes_and_ranges(lgm_setup):
     assert gn[..., 11:14].min() >= 0 and gn[..., 11:14].max() <= 1       # rgb
 
 
+@pytest.mark.slow
 def test_lgm_render_loss_grad(lgm_setup):
     """Full LGM → splat render → MSE loss gradient (the training refine
     path, reference core/models.py:136-188 minus LPIPS)."""

@@ -1,5 +1,7 @@
 """LGM-refine training step at tiny scale: loss finite, only LGM params move."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +21,7 @@ TINY_LGM = LGMOptions(
 )
 
 
+@pytest.mark.slow
 def test_lgm_refine_training_step():
     mesh = make_mesh(8)
     f, hw, S = 4, 16, 16  # 4 views, 16x16 latents
@@ -122,6 +125,7 @@ def test_lgm_refine_training_step():
     )
 
 
+@pytest.mark.slow
 def test_lgm_refine_view_chunked_matches_unchunked():
     """view_chunk + per-block LGM remat (the 512²-fit memory levers,
     PERF.md round 4) are numerically exact: same loss/aux and same updated

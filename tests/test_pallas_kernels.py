@@ -132,6 +132,7 @@ def test_splat_packed_pack_unpack_roundtrip():
         rtol=1e-2, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_splat_pallas_grads_match_dense(interpret_kernels):
     """The dedicated Pallas backward kernel (+ XLA binning VJP) must agree
     with the dense rasterizer gradient on the same scene."""

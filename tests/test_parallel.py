@@ -31,6 +31,7 @@ def test_mesh_and_batch_sharding():
     assert shards[0].data.shape == (1, 4)
 
 
+@pytest.mark.slow
 def test_dp_train_step_loss_matches_single_device():
     """The 8-way sharded step must produce the same loss as an equivalent
     single-device computation (GSPMD psum correctness)."""
@@ -79,6 +80,7 @@ def test_dp_train_step_loss_matches_single_device():
     np.testing.assert_allclose(float(loss), expected, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
@@ -86,6 +88,7 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_i2v_train_step():
     """The generalized train step must thread I2V conditioning
     (local_image + image_embed) through the sharded program."""
@@ -187,6 +190,7 @@ def test_cfg_dropout_substitutes_negative_embedding():
     assert abs(dropped - kept) > 1e-6
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_train_step_matches_replicated():
     """ZeRO-style fully-sharded state (fsdp_shardings) must (a) actually
     shard the large param leaves over the dp axis, and (b) produce the

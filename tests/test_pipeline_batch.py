@@ -21,6 +21,7 @@ def tiny_pipe():
     return pipe
 
 
+@pytest.mark.slow
 def test_generate_batch_dp_sharded(tiny_pipe):
     assert jax.device_count() == 8
     prompts = [f"object {i}" for i in range(8)]
@@ -35,6 +36,7 @@ def test_generate_batch_dp_sharded(tiny_pipe):
     assert not np.array_equal(out["frames"][0], out["frames"][1])
 
 
+@pytest.mark.slow
 def test_generate_batch_matches_single(tiny_pipe):
     """A batch of identical prompts with the same seed must contain rows
     that equal each other (the batched program treats rows independently
@@ -46,6 +48,7 @@ def test_generate_batch_matches_single(tiny_pipe):
     assert np.isfinite(out["latents"]).all()
 
 
+@pytest.mark.slow
 def test_generate_batch_pad_and_mask(tiny_pipe):
     """B=3 on an 8-device mesh with data_parallel: the batch pads to 8,
     shards, and the padding rows are dropped from the output — callers get
@@ -63,6 +66,7 @@ def test_generate_batch_pad_and_mask(tiny_pipe):
     assert any(k[3] == 8 for k in tiny_pipe._samplers)
 
 
+@pytest.mark.slow
 def test_generate_batch_dp_with_refine_matches_single():
     """dp-batched GS refine: the splat render runs as a batch-axis
     shard_map (each device rasterizes its local scenes). Must equal the
@@ -105,6 +109,7 @@ def test_generate_batch_dp_with_refine_matches_single():
     )
 
 
+@pytest.mark.slow
 def test_generate_batch_single_device_falls_back(tiny_pipe, monkeypatch):
     """On ONE device the batched program is a measured 0.83× regression
     (PERF.md, scripts/batch_throughput_tpu.py), so generate_batch must loop
@@ -131,6 +136,7 @@ def test_generate_batch_single_device_falls_back(tiny_pipe, monkeypatch):
     assert forced["frames"].shape == out["frames"].shape
 
 
+@pytest.mark.slow
 def test_params_dtype_bf16_storage():
     """``params_dtype: bfloat16`` halves parameter residency for serving
     (the fp32 I2V stack OOMed the 16 GB v5e — PERF.md round 4). All fp32

@@ -5,6 +5,8 @@ branch and never exposes them (core/gs.py:97 save_ply is dead code there);
 ``T2VPipeline.reconstruct_gaussians``/``export_ply`` make the asset a
 first-class output using the same LGM + PLY compaction components."""
 
+import pytest
+
 import os
 
 import jax
@@ -42,6 +44,7 @@ def _skeleton_pipe():
     return pipe
 
 
+@pytest.mark.slow
 def test_reconstruct_and_export_ply(tmp_path):
     pipe = _skeleton_pipe()
     rng = np.random.default_rng(0)

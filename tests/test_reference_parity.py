@@ -50,6 +50,7 @@ TINY_UNET = dict(
 
 
 @pytest.mark.parity
+@pytest.mark.slow
 def test_unet_t2v_forward_parity_vs_reference():
     ref_mod = load_ref("tools.modules.unet.unet_t2v")
     tref = ref_mod.UNetSD_T2VBase(**TINY_UNET, use_fps_condition=False).eval()

@@ -83,6 +83,7 @@ def test_full_mode_shapes_and_finite(tiny_stack):
     # structural cond/uncond distinction is covered by the mode test below.
 
 
+@pytest.mark.slow
 def test_shared_mode_aliases_cond(tiny_stack):
     common, xt, t = tiny_stack
     full = jax.jit(make_refine_fn(**common, uncond_mode="full"))

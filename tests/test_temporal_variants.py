@@ -255,6 +255,7 @@ def _tiny_unet(**kw):
     )
 
 
+@pytest.mark.slow
 def test_unet_rotary_variant_forward(tiny_unet_io):
     """temporal_block='rotary' builds the MultiBlock path (with the shared
     time_rel_pos_bias table) and runs with temporal_attn_times=2 honored."""

@@ -63,6 +63,7 @@ def test_mesh_selection():
         tensor_parallel_mesh(num_heads=8, tp=8, sp=2)  # 16 > 8 devices
 
 
+@pytest.mark.slow
 def test_sharding_rules(tiny):
     _, p, _, _, _ = tiny
     mesh = tensor_parallel_mesh(num_heads=2)
@@ -84,6 +85,7 @@ def test_sharding_rules(tiny):
     assert all(flat[k].spec == jax.sharding.PartitionSpec() for k in other)
 
 
+@pytest.mark.slow
 def test_tp_forward_parity(tiny):
     _, p, args, fwd, ref = tiny
     mesh = tensor_parallel_mesh(num_heads=2)
@@ -92,6 +94,7 @@ def test_tp_forward_parity(tiny):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_tp_composed_parity(tiny):
     """The flagship serving shape: frames over 'sp' AND heads over 'tp' on
     one 2-D mesh — a single sample on sp*tp devices."""

@@ -78,6 +78,7 @@ def _grads(model, scene, prng_impl=None):
     return jax.jit(jax.value_and_grad(loss_fn))(params, jax.random.PRNGKey(5))
 
 
+@pytest.mark.slow
 def test_remat_policy_grads_match(scene):
     """'dots_no_batch' / 'dots' only change rematerialisation scheduling,
     never the math; loss and every gradient leaf must match the 'full'
