@@ -13,9 +13,15 @@ from videomv_tpu.ops.gaussian_splat import prepare_gaussians, project_prepared
 
 print("backend:", jax.default_backend(), flush=True)
 
-V, S = 24, 256
+# argv: [render_size] — 256 (serving refine) or 512 (training renders /
+# acceptance gs_render_size; VERDICT r4 stretch-#9 asks for the 512 A/B)
+V = 24
+S = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 N = 4 * 128 * 128
-MP = 327680
+# match the production capacity rule (ops/gaussian_splat.py:318-321):
+# ceil(4.5 pairs/gaussian to 4096), resolution-scaled ceiling
+MP = min((1 << 21) if S >= 512 else (1 << 20),
+         max(16384, -(-9 * N // 2 // 4096) * 4096))
 settings = GSCameraSettings(output_size=S)
 gs = prepare_gs_training(orbit_c2w_opengl(V, 15.0, 2.0), settings, ray_size=256)
 cam_view = jnp.asarray(gs["cam_view"])[0]
