@@ -115,11 +115,40 @@ def test_make_image_dataset_brace_spec(shard_dir):
     assert ds is not None and len(ds.shards) == 3
 
 
+def test_cycle_epochs(shard_dir):
+    """Finite image streams must restart per epoch with a fresh shuffle —
+    the reference rebuilds its dataloader iterator on StopIteration
+    (train_t2v_enterance.py:240-246) and webdataset reshuffles per epoch."""
+    from videomv_tpu.data.datasets import cycle_epochs
+
+    ds = LaionImageDataset(
+        shards=[os.path.join(shard_dir, f"{i:05d}.tar") for i in range(3)],
+        resolution=(32, 32),
+    )
+    per_epoch = 9  # 3 accepted items per shard
+    stream = cycle_epochs(ds)
+    e1 = [next(stream)["caption"] for _ in range(per_epoch)]
+    e2 = [next(stream)["caption"] for _ in range(per_epoch)]
+    e3_head = [next(stream)["caption"] for _ in range(4)]
+    assert sorted(e1) == sorted(e2)  # same multiset every epoch
+    assert e1 != e2  # seed bump reshuffles the order
+    assert len(e3_head) == 4  # keeps producing indefinitely
+
+    class Empty:
+        def __iter__(self):
+            return iter(())
+
+    with pytest.raises(RuntimeError, match="no items"):
+        next(cycle_epochs(Empty()))
+
+
 @pytest.mark.slow
 def test_joint_train_smoke(shard_dir):
     """Joint LAION+video training end-to-end: both the f=1 image stream and
     the f=4 video stream must actually feed train steps (reference
-    heterogeneous frame_lens, train_t2v_enterance.py:99-103)."""
+    heterogeneous frame_lens, train_t2v_enterance.py:99-103). The image
+    batch size is sized so ONE epoch of shards holds a single batch — the
+    second image step only exists if the engine cycles epochs."""
     from videomv_tpu.config import load_config
     from videomv_tpu.training.engine import T2VTrainer
 
@@ -130,7 +159,7 @@ def test_joint_train_smoke(shard_dir):
         "resolution": [64, 64],
     }
     cfg["image_every"] = 2
-    cfg["batch_sizes"] = {"4": 2, "1": 2}
+    cfg["batch_sizes"] = {"4": 2, "1": 8}  # 9 items/epoch -> 1 batch/epoch
     cfg["use_ema"] = False
     cfg["dp_devices"] = 2  # batch of 2 must divide the data mesh
     tr = T2VTrainer(cfg).init()

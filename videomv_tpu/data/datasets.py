@@ -301,6 +301,35 @@ class SyntheticMVDataset:
             i += 1
 
 
+def cycle_epochs(dataset) -> Iterator[Dict]:
+    """Iterate a re-iterable dataset forever, restarting at each epoch end.
+
+    Finite streams (the LAION tar shards) must not end a joint training
+    run: the reference loop rebuilds its dataloader iterator on
+    StopIteration (train_t2v_enterance.py:240-246) and webdataset
+    re-shuffles every epoch (laion_dataset.py:216-242). Bumping ``seed``
+    (when the dataset carries one) reproduces the fresh per-epoch shuffle
+    order here.
+    """
+    epoch = 0
+    while True:
+        n = 0
+        for item in dataset:
+            n += 1
+            yield item
+        if n == 0:
+            raise RuntimeError(
+                f"dataset {type(dataset).__name__} yielded no items in epoch "
+                f"{epoch} — nothing passed decode/filters"
+            )
+        epoch += 1
+        if hasattr(dataset, "seed"):
+            try:
+                dataset.seed = int(dataset.seed) + 1
+            except Exception:
+                pass
+
+
 def batch_iterator(dataset, batch_size: int, keys: Optional[Sequence[str]] = None):
     """Collate dataset items into stacked numpy batches."""
     buf: List[Dict] = []

@@ -35,6 +35,7 @@ from ..data.datasets import (
     GObjaverseVideoDataset,
     SyntheticMVDataset,
     batch_iterator,
+    cycle_epochs,
     prefetch_host,
 )
 from ..data.tokenizer import tokenize
@@ -541,7 +542,9 @@ class T2VTrainer:
             img_ds = self.make_image_dataset()
             if img_ds is not None:
                 img_bs = int(cfg.get("batch_sizes", {}).get("1", bs))
-                image_batches = batch_iterator(iter(img_ds), img_bs)
+                # LAION shards are a finite stream — cycle epochs so the
+                # alternating schedule never StopIterations a long finetune
+                image_batches = batch_iterator(cycle_epochs(img_ds), img_bs)
             else:
                 logger.warning("image_every set but no LAION shards found")
 
