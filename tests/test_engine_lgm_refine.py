@@ -34,3 +34,6 @@ def test_engine_lgm_refine_mode():
     moved = max(np.abs(a - b).max() for a, b in zip(after, before))
     assert moved > 0, "LGM params must update"
     assert int(tr.lgm_state.step) == 2
+    # no retrace on the donated-state second call (mesh-placed step scalar;
+    # PERF.md roadmap #7 second-compile root cause)
+    assert tr.refine_step._cache_size() == 1

@@ -71,3 +71,8 @@ def test_train_steps_with_pipeline(tiny_trainer):
     """End-to-end: prefetched uint8 pipeline feeds real train steps."""
     loss = tiny_trainer.train(num_steps=2, batch_size=2)
     assert np.isfinite(loss)
+    # the donated state fed back into step 2 must NOT retrace: a raw
+    # (mesh-unplaced) state.step scalar used to change the aval sharding
+    # annotation between call 1 and call 2, recompiling the whole program
+    # (the ~300 s "second tunnel compile" of PERF.md roadmap #7)
+    assert tiny_trainer.train_step._cache_size() == 1

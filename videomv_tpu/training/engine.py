@@ -177,8 +177,15 @@ class T2VTrainer:
 
             place = lambda tree: jax.tree_util.tree_map(  # noqa: E731
                 jax.device_put, tree, fsdp_shardings(tree, self.mesh))
+            # step must be mesh-placed like every other leaf: a raw
+            # single-device scalar's aval lacks the mesh annotation the
+            # jitted step's OUTPUT step carries, so feeding the state back
+            # would retrace + recompile the whole program (the "second
+            # tunnel compile" of PERF.md roadmap #7 — root-caused with
+            # jax_explain_cache_misses: `at state.step, now
+            # i32[]({Auto: ('dp',)}) and before i32[]({})`).
             self.state = TrainState(
-                step=jnp.asarray(self.resume_step, jnp.int32),
+                step=replicate(self.mesh, jnp.asarray(self.resume_step, jnp.int32)),
                 params=place(unet_params),
                 opt_state=place(opt_state),
                 ema_params=place(ema0) if use_ema else None,
@@ -193,7 +200,7 @@ class T2VTrainer:
             self._state_shardings = state_shardings
         else:
             self.state = TrainState(
-                step=jnp.asarray(self.resume_step, jnp.int32),
+                step=replicate(self.mesh, jnp.asarray(self.resume_step, jnp.int32)),
                 params=replicate(self.mesh, unet_params),
                 opt_state=replicate(self.mesh, opt_state),
                 ema_params=replicate(self.mesh, ema0) if use_ema else None,
@@ -273,7 +280,9 @@ class T2VTrainer:
             optimizer=str(cfg.get("optimizer", "adamw")),
         )
         self.lgm_state = LGMTrainState(
-            step=jnp.asarray(self.resume_step, jnp.int32),
+            # replicate() the step scalar too — a raw scalar retraces the
+            # donated-state step on call 2 (see the TrainState comment)
+            step=replicate(self.mesh, jnp.asarray(self.resume_step, jnp.int32)),
             lgm_params=replicate(self.mesh, lgm_params),
             opt_state=replicate(self.mesh, jax.jit(self.optimizer.init)(lgm_params)),
         )
@@ -780,7 +789,7 @@ class T2VTrainer:
             }
             restored = ckptr.restore(os.path.abspath(path), target)
             self.lgm_state = LGMTrainState(
-                step=jnp.asarray(restored["step"], jnp.int32),
+                step=replicate(self.mesh, jnp.asarray(restored["step"], jnp.int32)),
                 lgm_params=replicate(self.mesh, restored["lgm_params"]),
                 opt_state=replicate(self.mesh, restored["opt_state"]),
             )
@@ -802,7 +811,7 @@ class T2VTrainer:
             put = lambda tree, shard: jax.tree_util.tree_map(  # noqa: E731
                 jax.device_put, tree, shard)
             self.state = TrainState(
-                step=jnp.asarray(restored["step"], jnp.int32),
+                step=replicate(self.mesh, jnp.asarray(restored["step"], jnp.int32)),
                 params=put(restored["params"], sh.params),
                 opt_state=put(restored["opt_state"], sh.opt_state),
                 ema_params=put(restored["ema_params"], sh.ema_params)
@@ -811,7 +820,7 @@ class T2VTrainer:
             )
             return self
         self.state = TrainState(
-            step=jnp.asarray(restored["step"], jnp.int32),
+            step=replicate(self.mesh, jnp.asarray(restored["step"], jnp.int32)),
             params=replicate(self.mesh, restored["params"]),
             opt_state=replicate(self.mesh, restored["opt_state"]),
             ema_params=replicate(self.mesh, restored["ema_params"])
