@@ -19,6 +19,36 @@ def test_prefetch_host_order_and_end():
     assert [int(b["i"]) for b in out] == list(range(7))
 
 
+def test_prefetch_host_joins_worker_on_early_close():
+    """Abandoning the iterator mid-stream must not leak the worker thread.
+
+    The r5 full-suite crash dump showed a prefetch worker parked forever on
+    q.put() after its trainer finished (measurements/r5/
+    pytest_full_r5_final_ABORTED.log) — close() must stop AND join it."""
+    import threading
+    import time
+
+    started = threading.Event()
+
+    def endless():
+        while True:
+            started.set()
+            yield {"i": np.zeros(4)}
+
+    before = set(threading.enumerate())
+    it = prefetch_host(endless(), depth=1)
+    next(it)
+    assert started.wait(timeout=5)
+    it.close()  # triggers the generator's finally: stop + drain + join
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"prefetch worker leaked: {leaked}"
+
+
 def test_prefetch_host_propagates_errors():
     def gen():
         yield {"i": np.asarray(0)}

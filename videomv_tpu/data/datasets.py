@@ -368,20 +368,48 @@ def prefetch_host(batches: Iterator[Dict], depth: int = 2) -> Iterator[Dict]:
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # A plain q.put() would block forever if the consumer abandons the
+        # iterator with the queue full (a training loop ending mid-stream
+        # leaves the thread pinned on put() for the life of the process —
+        # observed as the leaked worker in the r5 full-suite crash dump,
+        # measurements/r5/pytest_full_r5_final_ABORTED.log).
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(b)
-            q.put(_END)
+                if not _put(b):
+                    return
+            _put(_END)
         except BaseException as e:  # propagate into the training loop
-            q.put(e)
+            _put(e)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # Deterministic shutdown on normal exhaustion, generator .close(),
+        # or GC: unblock and join the worker so no thread outlives its loop.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)

@@ -571,6 +571,21 @@ class T2VTrainer:
 
         t_start = time.time()
         losses = []
+        try:
+            return self._train_loop(
+                num_steps, batches, image_batches, image_every, rng,
+                log_interval, save_interval, viz_interval, viz_hook,
+                log_dir, t_start, losses,
+            )
+        finally:
+            # join the prefetch worker — a daemon thread parked on a full
+            # queue otherwise outlives the trainer (seen in the r5 suite
+            # crash dump as the leaked worker thread)
+            batches.close()
+
+    def _train_loop(self, num_steps, batches, image_batches, image_every,
+                    rng, log_interval, save_interval, viz_interval,
+                    viz_hook, log_dir, t_start, losses):
         # read the starting step ONCE — per-step int(state.step) forces a
         # device sync that stalls async dispatch (the host batch + upload
         # would then run while the chip idles instead of underneath step i+1)
